@@ -1,0 +1,402 @@
+"""Classification subcommands: train / test (sparse variational SVGP/SVTP).
+
+Rebuilds ``experiments/classification/{train,test}.py``: class-proportional
+inducing-point init, optional two-LR split (prior vs rest), svtp last_w_std
+freeze, minibatch ELBO epochs with per-epoch valid NLL/ACC, plateau LR,
+best-NLL checkpoints, and the MC test path with 10k samples.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from snngp.models import SVSP, NNGPKernel, GaussianPrior, InverseGammaPrior
+from snngp.models.params import get_by_suffix
+from snngp.nn.arch import get_cnn_kernel, get_conv_resnet_kernel
+from snngp.data.classification import get_train_dataset, get_test_dataset
+from snngp.utils import (
+    Adam, SGD, Checkpointer, DataLoader, Logger, ReduceLROnPlateau,
+    get_context_summary, load_named, name_mask,
+)
+
+
+def add_subparser(subparsers):
+    parser = subparsers.add_parser("classification", aliases=["cls"])
+    sub = parser.add_subparsers(metavar="ops")
+    _add_train_parser(sub)
+    _add_test_parser(sub)
+
+
+def _add_train_parser(subparsers):
+    parser = subparsers.add_parser("train", aliases=["tr"])
+    parser.set_defaults(func=train_main)
+
+    parser.add_argument("-m",   "--method",           choices=["svgp", "svtp"], required=True)
+    parser.add_argument("-n",   "--network",          choices=["cnn", "resnet"], default="cnn")
+    parser.add_argument("-dr",  "--data-root",        type=str, default="./data")
+    parser.add_argument("-dn",  "--data-name",        required=True)
+    parser.add_argument("-cr",  "--ckpt-root",        type=str, default="./_ckpt/cls")
+    parser.add_argument("-cn",  "--ckpt-name",        type=str, default=None)
+
+    parser.add_argument("-vp",  "--valid-prop",       type=float, default=0.1)
+    parser.add_argument("-nd",  "--num-data",         type=int, default=None)
+    parser.add_argument("-nb",  "--num-batch",        type=int, default=100)
+    parser.add_argument("-ni",  "--num-inducing",     type=int, default=200)
+    parser.add_argument("-ns",  "--num-sample",       type=int, default=100)
+    parser.add_argument("-nvs", "--num-valid-sample", type=int, default=1000)
+
+    parser.add_argument("-a",   "--alpha",            type=float, default=2.)
+    parser.add_argument("-b",   "--beta",             type=float, default=2.)
+
+    parser.add_argument("-nh",  "--num-hiddens",      type=int, default=4)
+    parser.add_argument("-act", "--activation",       choices=["erf", "relu"], default="relu")
+    parser.add_argument("-ws",  "--w-std",            type=float, default=1.)
+    parser.add_argument("-bs",  "--b-std",            type=float, default=1e-8)
+    parser.add_argument("-ls",  "--last-w-std",       type=float, default=1.)
+    parser.add_argument("-eps", "--epsilon",          type=float, default=1e-6)
+
+    parser.add_argument("-opt", "--optimizer",        choices=["adam", "sgd"], default="adam")
+    parser.add_argument("-lr",  "--lr",               type=float, default=1e-2)
+    parser.add_argument("-lr2", "--lr2",              type=float, default=None)
+    parser.add_argument("-lrd", "--lr-decay",         type=float, default=0.5)
+    parser.add_argument("-lrt", "--lr-threshold",     type=float, default=1e-4)
+    parser.add_argument("-lrp", "--lr-patience",      type=int, default=5)
+    parser.add_argument("-e",   "--max-epoch",        type=int, default=300)
+    parser.add_argument("-r",   "--resize",           type=int, default=1)
+
+    parser.add_argument("-s",   "--seed",             type=int, default=10)
+    parser.add_argument("-q",   "--quite",            default=False, action="store_true")
+    parser.add_argument("-c",   "--comment",          type=str, default="")
+
+
+def _base_kernel(network):
+    if network is None or network == "cnn":
+        return "cnn", get_cnn_kernel
+    return "resnet", get_conv_resnet_kernel
+
+
+def _make_model(method, network, num_hiddens, activation, w_std, b_std,
+                last_w_std, alpha, beta, num_class, inducing_points, epsilon):
+    _, base_kernel_fn = _base_kernel(network)
+
+    def get_kernel_fn(w, b, l):
+        return base_kernel_fn(num_hiddens, num_class, activation,
+                              w_std=w, b_std=b, last_w_std=l)
+
+    if method == "svgp":
+        kernel = NNGPKernel(get_kernel_fn, w_std, b_std, last_w_std)
+        prior = GaussianPrior()
+    elif method == "svtp":
+        # svtp fixes last_w_std = 1 (classification/train.py:181).
+        kernel = NNGPKernel(get_kernel_fn, w_std, b_std, 1.)
+        prior = InverseGammaPrior(alpha, beta)
+    else:
+        raise ValueError(f"Unsupported method '{method}'")
+
+    return SVSP(prior, kernel, inducing_points, num_latent_gps=num_class,
+                eps=epsilon)
+
+
+def train_main(args):
+    dataset = get_train_dataset(
+        name=args.data_name, root=args.data_root,
+        num_data=args.num_data, valid_prop=args.valid_prop,
+        normalize=True, seed=args.seed,
+    )
+    (x_train, y_train), (x_valid, y_valid), (num_class, data_name, data_msg) = dataset
+    num_train, num_valid = x_train.shape[0], x_valid.shape[0]
+
+    if not args.ckpt_name:
+        args.ckpt_name = f"{data_name}/{args.method}-{args.network}"
+        args.ckpt_name += f"/ni{args.num_inducing}-nh{args.num_hiddens}"
+        if args.method == "svtp":
+            args.ckpt_name += f"-a{args.alpha:.1f}-b{args.beta:.1f}"
+        args.ckpt_name += f"/{args.comment or datetime.now().strftime('%y%m%d%H%M')}"
+
+    ckpt_dir = os.path.join(os.path.expanduser(args.ckpt_root), args.ckpt_name)
+    checkpointer = Checkpointer(ckpt_dir, keep_ckpts=20)
+    logger = Logger(ckpt_dir, quite=args.quite)
+
+    try:
+        h, w, c = x_train.shape[1:]
+        if args.resize > 1:
+            new_h, new_w = h // args.resize, w // args.resize
+            x_train = np.asarray(jax.image.resize(
+                jnp.asarray(x_train), (num_train, new_h, new_w, c), method="bilinear"))
+            x_valid = np.asarray(jax.image.resize(
+                jnp.asarray(x_valid), (num_valid, new_h, new_w, c), method="bilinear"))
+            logger.log(f"Resized to ({h}, {w}, {c}) -> ({new_h}, {new_w}, {c})")
+
+        args.network, _ = _base_kernel(args.network)
+
+        # Class-proportional inducing-point init (classification/train.py:186-190).
+        label_class = np.array([np.sum(y_train == ci) for ci in range(num_class)])
+        num_inducing_class = np.round(
+            args.num_inducing * label_class / label_class.sum()).astype(int).tolist()
+        inducing_points = np.concatenate(
+            [x_train[y_train == ci][:ni]
+             for ci, ni in zip(range(num_class), num_inducing_class)], axis=0)
+        args.num_inducing = inducing_points.shape[0]
+
+        model = _make_model(args.method, args.network, args.num_hiddens,
+                            args.activation, args.w_std, args.b_std,
+                            args.last_w_std, args.alpha, args.beta,
+                            num_class, inducing_points, args.epsilon)
+        params = model.init_params()
+
+        # Trainable masks: svtp freezes last_w_std (classification/train.py:216).
+        if args.method == "svtp":
+            base_pred = lambda n: "last_w_std" not in n
+        else:
+            base_pred = lambda n: True
+
+        opt_cls = Adam if args.optimizer == "adam" else SGD
+        if args.lr2:
+            # Two optimizers: non-prior params at lr1, prior params at lr2
+            # (classification/train.py:228-242).
+            mask1 = name_mask(params, lambda n: base_pred(n) and "prior" not in n)
+            mask2 = name_mask(params, lambda n: base_pred(n) and "prior" in n)
+            optimizer1, optimizer2 = opt_cls(mask=mask1), opt_cls(mask=mask2)
+            opt_state1, opt_state2 = optimizer1.init(params), optimizer2.init(params)
+
+            @jax.jit
+            def train_step(params, opt_state1, opt_state2, key, x_batch, y_batch, lr1, lr2):
+                loss, grads = jax.value_and_grad(model.loss)(
+                    params, key, x_batch, y_batch, num_train, args.num_sample)
+                params, opt_state1 = optimizer1.update(grads, opt_state1, params, lr1)
+                params, opt_state2 = optimizer2.update(grads, opt_state2, params, lr2)
+                return params, opt_state1, opt_state2, loss
+
+            opt_states = [opt_state1, opt_state2]
+        else:
+            mask = name_mask(params, base_pred)
+            optimizer = opt_cls(mask=mask)
+            opt_state = optimizer.init(params)
+
+            @jax.jit
+            def train_step(params, opt_state, key, x_batch, y_batch, lr):
+                loss, grads = jax.value_and_grad(model.loss)(
+                    params, key, x_batch, y_batch, num_train, args.num_sample)
+                params, opt_state = optimizer.update(grads, opt_state, params, lr)
+                return params, opt_state, loss
+
+            opt_states = [opt_state]
+
+        @jax.jit
+        def valid_step(params, key, x_batch, y_batch):
+            return model.test_acc_nll(params, key, x_batch, y_batch, args.num_valid_sample)
+
+        scheduler = ReduceLROnPlateau(lr=args.lr, factor=args.lr_decay,
+                                      patience=args.lr_patience)
+
+        def train_log(i, nelbo, log=True):
+            ws, bs, ls = (float(v) for v in model.kernel.get_params(params["kernel"]))
+            eps = float(model.bij(params["eps"]))
+            if args.method == "svtp":
+                ia = float(model.prior.bij(params["prior"]["a"]))
+                ib = float(model.prior.bij(params["prior"]["b"]))
+                print_str = (f"nELBO: {nelbo:.5f}  ws: {ws:.4f}  bs: {bs:.3E}  "
+                             f"a: {ia:.4f}  b: {ib:.4f}  e: {eps:.3E}")
+            else:
+                print_str = (f"nELBO: {nelbo:.5f}  ws: {ws:.4f}  bs: {bs:.3E}  "
+                             f"ls: {ls:.4f}  e: {eps:.3E}")
+            if log:
+                logger.log(f"       [{i:4d}]  {print_str}", is_tqdm=True)
+            return print_str
+
+        np.save(os.path.join(ckpt_dir, "meta.npy"),
+                {k: v for k, v in vars(args).items() if k != "func"})
+        logger.log(get_context_summary(args, dict(
+            num_class=num_class, num_train=num_train, num_valid=num_valid,
+            data_name=data_name, data_msg=data_msg,
+            num_inducing=args.num_inducing, inducing_points=num_inducing_class,
+        )))
+
+        train_loader = DataLoader(x_train, y_train, batch_size=args.num_batch,
+                                  shuffle=True, seed=args.seed)
+        valid_loader = DataLoader(x_valid, y_valid, batch_size=args.num_batch,
+                                  shuffle=False)
+
+        def valid_epoch(key, params):
+            total_nll, total_corrects = 0.0, 0
+            from tqdm import tqdm
+            for x_batch, y_batch in tqdm(valid_loader, desc="Valid", leave=False,
+                                         ncols=0, disable=args.quite):
+                key, split_key = random.split(key)
+                nll, corrects = valid_step(params, split_key,
+                                           jnp.asarray(x_batch), jnp.asarray(y_batch))
+                total_nll += float(nll) * x_batch.shape[0]
+                total_corrects += int(corrects)
+            return (total_nll / valid_loader.num_data,
+                    total_corrects * 100 / valid_loader.num_data)
+
+        key = random.PRNGKey(args.seed)
+        valid_nll, valid_acc = valid_epoch(key, params)
+        logger.log(f"[{0:3d}]  NLL: {valid_nll:.5f}  ACC: {valid_acc:.2f}")
+
+        best_epoch, best_nll, best_acc, best_print_str = 0, valid_nll, valid_acc, ""
+        checkpointer.step(0, valid_nll, params)
+
+        from tqdm import tqdm, trange
+        for epoch in trange(1, args.max_epoch + 1, desc="Epoch", ncols=0,
+                            disable=args.quite):
+            key, split_key = random.split(key)
+
+            # train epoch (classification/train.py:91-108)
+            total_nelbo, ekey = 0.0, split_key
+            log_interval = max(len(train_loader) // 4, 1)
+            for idx, (x_batch, y_batch) in enumerate(tqdm(
+                    train_loader, desc="Train", leave=False, ncols=0,
+                    total=len(train_loader), disable=args.quite)):
+                ekey, bkey = random.split(ekey)
+                xb, yb = jnp.asarray(x_batch), jnp.asarray(y_batch)
+                if args.lr2:
+                    params, *opt_states, nelbo = train_step(
+                        params, *opt_states, bkey, xb, yb, scheduler.lr, args.lr2)
+                else:
+                    params, opt_states[0], nelbo = train_step(
+                        params, opt_states[0], bkey, xb, yb, scheduler.lr)
+                total_nelbo += float(nelbo) * x_batch.shape[0]
+                if (idx + 1) % log_interval == 0:
+                    train_log(idx + 1, float(nelbo))
+            train_nelbo = total_nelbo / train_loader.num_data
+            logger.log(f"[{epoch:3d}]  nELBO: {train_nelbo:.5f}", is_tqdm=True)
+
+            valid_nll, valid_acc = valid_epoch(split_key, params)
+            logger.log(f"[{epoch:3d}]  NLL: {valid_nll:.5f}  ACC: {valid_acc:.2f}",
+                       is_tqdm=True)
+
+            updated = checkpointer.step(epoch, valid_nll, params)
+            if updated:
+                best_epoch, best_nll, best_acc = epoch, valid_nll, valid_acc
+                best_print_str = train_log(epoch, train_nelbo, log=False)
+                logger.log(f"[{epoch:3d}]  Updated  NLL: {valid_nll:.5f}  "
+                           f"ACC: {valid_acc:.2f}", is_tqdm=True)
+
+            reduced = scheduler.step(valid_nll)
+            if reduced:
+                logger.log(f"[{epoch:3d}]  LR reduced to {scheduler.lr:.6f}", is_tqdm=True)
+                if scheduler.lr < args.lr_threshold:
+                    break
+
+        logger.log(f"[{best_epoch:3d}]  NLL: {best_nll:.5f}  ACC: {best_acc:.2f}  {best_print_str}")
+
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        import traceback
+        logger.log(f"\n{traceback.format_exc()}\nStopped")
+    finally:
+        logger.close()
+
+
+# ---------------------------------------------------------------------------
+# test (experiments/classification/test.py)
+# ---------------------------------------------------------------------------
+
+def _add_test_parser(subparsers):
+    parser = subparsers.add_parser("test", aliases=["ts"])
+    parser.set_defaults(func=test_main)
+
+    parser.add_argument("-dr", "--data-root",  type=str, default="./data")
+    parser.add_argument("-dn", "--data-name",  required=True)
+    parser.add_argument("-cd", "--ckpt-dir",   type=str, required=True)
+    parser.add_argument("-ci", "--ckpt-index", type=int, default=None)
+    parser.add_argument("-nd", "--num-data",   type=int, default=None)
+    parser.add_argument("-nb", "--num-batch",  type=int, default=100)
+    parser.add_argument("-ns", "--num-sample", type=int, default=10000)
+    parser.add_argument("-s",  "--seed",       type=int, default=10)
+    parser.add_argument("-q",  "--quite",      default=False, action="store_true")
+
+
+def test_main(args):
+    import glob
+
+    if args.ckpt_index is None:
+        ckpts = sorted(glob.glob(os.path.join(args.ckpt_dir, Checkpointer.FILE_MATCH)))
+        if not ckpts:
+            raise SystemExit(f"no checkpoints (*.npz) found in {args.ckpt_dir}")
+        args.ckpt_index = int("".join(ckpts[-1].split("/")[-1].split(".")[:-1]))
+
+    (x_test, y_test), (num_class, data_name) = get_test_dataset(
+        name=args.data_name, root=args.data_root,
+        num_data=args.num_data, normalize=True,
+    )
+
+    named = load_named(os.path.join(args.ckpt_dir,
+                                    Checkpointer.FILE_FORMAT.format(args.ckpt_index)))
+    context = np.load(os.path.join(args.ckpt_dir, "meta.npy"),
+                      allow_pickle=True).item()
+
+    a = get_by_suffix(named, "a")
+    b = get_by_suffix(named, "b")
+    w_std = get_by_suffix(named, "w_std")
+    b_std = get_by_suffix(named, "b_std")
+    last_w_std = get_by_suffix(named, "last_w_std")
+    inducing_points = get_by_suffix(named, "inducing_variable")
+    q_mu = get_by_suffix(named, "q_mu")
+    q_sqrt = get_by_suffix(named, "q_sqrt")
+    eps = get_by_suffix(named, "eps")
+
+    method = context["method"]
+    network = context["network"]
+    if last_w_std is None:
+        last_w_std = np.array(context["last_w_std"])
+
+    log_dir = os.path.join(args.ckpt_dir, "test")
+    log_name = f"{method}-{network}-{data_name.replace('/', '-')}-{args.ckpt_index}.log"
+    logger = Logger(log_dir, log_name, quite=args.quite)
+
+    # Resize test inputs to the inducing-point resolution
+    # (classification/test.py:112-114).
+    h, w, c = inducing_points.shape[1:]
+    x_test = np.asarray(jax.image.resize(
+        jnp.asarray(x_test), (x_test.shape[0], h, w, c), method="bilinear"))
+
+    model = _make_model(method, network, context["num_hiddens"],
+                        context["activation"], 0., 0., 0.,
+                        context.get("alpha", 2.), context.get("beta", 2.),
+                        num_class, inducing_points, 1e-6)
+    params = model.init_params()
+    # Raw (unconstrained) values restored directly (classification/test.py:129-144).
+    params["kernel"]["w_std"] = jnp.asarray(w_std)
+    params["kernel"]["b_std"] = jnp.asarray(b_std)
+    params["kernel"]["last_w_std"] = jnp.asarray(last_w_std)
+    params["q_mu"] = jnp.asarray(q_mu)
+    params["q_sqrt"] = jnp.asarray(q_sqrt)
+    if eps is not None:
+        params["eps"] = jnp.asarray(eps)
+    if method == "svtp":
+        params["prior"]["a"] = jnp.asarray(a)
+        params["prior"]["b"] = jnp.asarray(b)
+
+    logger.log(f"Data: {data_name}")
+    logger.log(f"Epoch: {args.ckpt_index}")
+
+    @jax.jit
+    def test_step(params, key, x_batch, y_batch):
+        return model.test_acc_nll(params, key, x_batch, y_batch, args.num_sample)
+
+    test_loader = DataLoader(x_test, y_test, batch_size=args.num_batch, shuffle=False)
+
+    key = random.PRNGKey(args.seed)
+    nll_sum, corrects = 0.0, 0
+    from tqdm import tqdm
+    for x_batch, y_batch in tqdm(test_loader, desc="Test", leave=False, ncols=0,
+                                 disable=args.quite):
+        key, split_key = random.split(key)
+        nll, cc = test_step(params, split_key, jnp.asarray(x_batch), jnp.asarray(y_batch))
+        nll_sum += float(nll) * x_batch.shape[0]
+        corrects += int(cc)
+
+    test_nll = nll_sum / test_loader.num_data
+    test_acc = corrects * 100 / test_loader.num_data
+    logger.log(f"NLL: {test_nll:.5f}  ACC: {test_acc:.2f}\n")
+    logger.close()

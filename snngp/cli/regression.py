@@ -1,0 +1,303 @@
+"""Regression subcommands: train / test / find.
+
+Rebuilds ``experiments/regression/{train,test,find}.py`` with the same flag
+schema, data pipeline (double seeded permutation at ``train.py:97-109`` —
+parity depends on byte-identical order), run-budget defaults, plateau LR
+policy, best-valid checkpoint gating, and restore-by-suffix test path.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import datetime
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from snngp.models import SPR, NNGPKernel, GaussianLikelihood, StudentTLikelihood
+from snngp.models.params import get_by_suffix, assign_by_suffix
+from snngp.nn.arch import get_mlp_kernel, get_dense_resnet_kernel
+from snngp.data.regression import DATASETS, get_dataset, permute_dataset, split_dataset
+from snngp.utils import (
+    Adam, SGD, Checkpointer, Logger, ReduceLROnPlateau, get_context_summary,
+    load_named,
+)
+
+
+def add_subparser(subparsers):
+    parser = subparsers.add_parser("regression", aliases=["reg"])
+    sub = parser.add_subparsers(metavar="ops")
+    _add_train_parser(sub)
+    _add_test_parser(sub)
+    from snngp.cli.find import add_subparser as add_find
+    add_find(sub)
+
+
+# ---------------------------------------------------------------------------
+# train (experiments/regression/train.py)
+# ---------------------------------------------------------------------------
+
+def _add_train_parser(subparsers):
+    parser = subparsers.add_parser("train", aliases=["tr"])
+    parser.set_defaults(func=train_main)
+
+    parser.add_argument("-m",   "--method",         choices=["gp", "tp"], required=True)
+    parser.add_argument("-n",   "--network",        choices=["resnet", "mlp"], default=None)
+    parser.add_argument("-dn",  "--data-name",      choices=DATASETS, required=True)
+    parser.add_argument("-dr",  "--data-root",      type=str, default="./data")
+    parser.add_argument("-cr",  "--ckpt-root",      type=str, default="./_ckpt")
+    parser.add_argument("-cn",  "--ckpt-name",      type=str, default=None)
+
+    parser.add_argument("-vp",  "--valid-prop",     type=float, default=0.1)
+    parser.add_argument("-nd",  "--num-data",       type=int, default=None)
+
+    parser.add_argument("-a",   "--alpha",          type=float, default=2.)
+    parser.add_argument("-b",   "--beta",           type=float, default=2.)
+
+    parser.add_argument("-nh",  "--num-hiddens",    type=int, default=4)
+    parser.add_argument("-act", "--activation",     choices=["erf", "relu"], default="relu")
+    parser.add_argument("-ws",  "--w-std",          type=float, default=1.)
+    parser.add_argument("-bs",  "--b-std",          type=float, default=1e-8)
+    parser.add_argument("-ls",  "--last-w-std",     type=float, default=1.)
+    parser.add_argument("-eps", "--epsilon",        type=float, default=1e-6)
+
+    parser.add_argument("-opt", "--optimizer",      choices=["adam", "sgd"], default="adam")
+    parser.add_argument("-lr",  "--lr",             type=float, default=1e-2)
+    parser.add_argument("-lrd", "--lr-decay",       type=float, default=0.5)
+    parser.add_argument("-lrt", "--lr-threshold",   type=float, default=1e-4)
+    parser.add_argument("-lrp", "--lr-patience",    type=int, default=5)
+    parser.add_argument("-t",   "--max-steps",      type=int, default=30000)
+
+    parser.add_argument("-s",   "--seed",           type=int, default=10)
+    parser.add_argument("-pi",  "--print-interval", type=int, default=100)
+    parser.add_argument("-vi",  "--valid-interval", type=int, default=500)
+    parser.add_argument("-q",   "--quite",          default=False, action="store_true")
+    parser.add_argument("-c",   "--comment",        type=str, default="")
+
+
+def _load_splits(data_name, data_root, seed):
+    """Shared data assembly: seed-10 permutation, 0.8/0.1/0.1 split, then the
+    seeded train/valid re-permutation (reference train.py:97-109)."""
+    x, y = get_dataset(name=data_name, root=data_root)
+    x, y = permute_dataset(x, y, seed=10)
+    splits = split_dataset(x, y, train=0.8, valid=0.1, test=0.1)
+    (x_train, y_train), (x_valid, y_valid), (x_test, y_test), (y_std, y_mean) = splits
+
+    num_train = x_train.shape[0]
+    x_tv = np.concatenate([x_train, x_valid], axis=0)
+    y_tv = np.concatenate([y_train, y_valid], axis=0)
+    x_tv, y_tv = permute_dataset(x_tv, y_tv, seed=seed)
+    x_train, x_valid = x_tv[:num_train], x_tv[num_train:]
+    y_train, y_valid = y_tv[:num_train], y_tv[num_train:]
+
+    to_j = lambda a: jnp.array(a, dtype=jnp.float32)
+    return ((to_j(x_train), to_j(y_train)), (to_j(x_valid), to_j(y_valid)),
+            (to_j(x_test), to_j(y_test)), (to_j(y_std), to_j(y_mean)))
+
+
+def _resolve_network(network):
+    if network is None or network == "mlp":
+        return "mlp", get_mlp_kernel
+    if network == "resnet":
+        return "resnet", get_dense_resnet_kernel
+    raise ValueError(f"Unsupported network '{network}'")
+
+
+def _build_model(args_like, x_train, y_train, y_mean, y_std):
+    network, base_kernel_fn = _resolve_network(args_like["network"])
+
+    def get_kernel_fn(w_std, b_std, last_w_std):
+        return base_kernel_fn(
+            args_like["num_hiddens"], act=args_like["activation"],
+            w_std=w_std, b_std=b_std, last_w_std=last_w_std,
+        )
+
+    kernel = NNGPKernel(get_kernel_fn, args_like["w_std"], args_like["b_std"],
+                        args_like["last_w_std"])
+    if args_like["method"] == "gp":
+        likelihood = GaussianLikelihood()
+    elif args_like["method"] == "tp":
+        likelihood = StudentTLikelihood(args_like["alpha"], args_like["beta"])
+    else:
+        raise ValueError(f"Unsupported method '{args_like['method']}'")
+
+    return SPR(kernel, likelihood, x_train, y_train, y_mean, y_std,
+               eps=args_like["epsilon"]), network
+
+
+def train_main(args):
+    if not args.ckpt_name:
+        args.ckpt_name = f"{args.data_name}/{args.method}"
+        args.ckpt_name += f"/nh{args.num_hiddens}-ws{args.w_std:.1f}-bs{args.b_std:.1f}-ls{args.last_w_std:.1f}"
+        if args.method == "tp":
+            args.ckpt_name += f"-a{args.alpha:.1f}-b{args.beta:.1f}"
+        args.ckpt_name += f"/{args.comment or datetime.now().strftime('%y%m%d%H%M')}"
+
+    ckpt_dir = os.path.join(os.path.expanduser(args.ckpt_root), args.ckpt_name)
+    checkpointer = Checkpointer(ckpt_dir)
+    logger = Logger(ckpt_dir, quite=args.quite)
+
+    try:
+        (x_train, y_train), (x_valid, y_valid), (x_test, y_test), (y_std, y_mean) = \
+            _load_splits(args.data_name, args.data_root, args.seed)
+        num_train, num_valid = x_train.shape[0], x_valid.shape[0]
+
+        network, _ = _resolve_network(args.network)
+        args.network = network
+        model, _ = _build_model(vars(args), x_train, y_train, y_mean, y_std)
+        params = model.init_params()
+
+        optimizer = Adam() if args.optimizer == "adam" else SGD()
+        opt_state = optimizer.init(params)
+        scheduler = ReduceLROnPlateau(lr=args.lr, factor=args.lr_decay,
+                                      patience=args.lr_patience)
+
+        @jax.jit
+        def train_step(params, opt_state, lr):
+            loss, grads = jax.value_and_grad(model.loss)(params)
+            params, opt_state = optimizer.update(grads, opt_state, params, lr)
+            return params, opt_state, loss
+
+        valid_step = jax.jit(lambda p: model.test_nll(p, x_valid, y_valid))
+        test_step = jax.jit(lambda p: model.test_nll(p, x_test, y_test))
+
+        np.save(os.path.join(ckpt_dir, "meta.npy"),
+                dict(args={k: v for k, v in vars(args).items() if k != "func"}))
+        logger.log(get_context_summary(args, dict(num_train=num_train, num_valid=num_valid)))
+
+        valid_nll = valid_step(params)
+        test_nll = test_step(params)
+        logger.log(f"[{0:5d}] NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}")
+
+        best_step, best_nll, best_test_nll, best_print_str = 0, valid_nll, test_nll, ""
+        print_str = ""
+        checkpointer.step(0, float(valid_nll), params)
+
+        from tqdm import tqdm
+        for i in tqdm(range(1, args.max_steps + 1), desc="Train", ncols=0,
+                      disable=args.quite):
+            params, opt_state, nll = train_step(params, opt_state, scheduler.lr)
+
+            if i % args.print_interval == 0:
+                ws, bs, ls = (float(v) for v in model.kernel.get_params(params["kernel"]))
+                eps = float(model.bij(params["eps"]))
+                if args.method == "tp":
+                    ia = float(model.likelihood.bij(params["likelihood"]["a"]))
+                    ib = float(model.likelihood.bij(params["likelihood"]["b"]))
+                    print_str = (f"nll: {nll:.5f}  ws: {ws:.4f}  bs: {bs:.3E}  "
+                                 f"ls: {ls:.4f}  a: {ia:.4f}  b: {ib:.4f}  e: {eps:.3E}")
+                else:
+                    print_str = (f"nll: {nll:.5f}  ws: {ws:.4f}  bs: {bs:.3E}  "
+                                 f"ls: {ls:.4f}  e: {eps:.3E}")
+                logger.log(f"[{i:5d}] {print_str}", is_tqdm=True)
+
+            if i % args.valid_interval == 0:
+                valid_nll = valid_step(params)
+                test_nll = test_step(params)
+                logger.log(f"[{i:5d}] NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}", is_tqdm=True)
+                reduced = scheduler.step(valid_nll)
+                updated = checkpointer.step(i, float(valid_nll), params)
+
+                if updated:
+                    logger.log(f"[{i:5d}] Updated  NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}",
+                               is_tqdm=True)
+                    best_step, best_nll, best_test_nll = i, valid_nll, test_nll
+                    best_print_str = print_str
+
+                if reduced:
+                    logger.log(f"LR reduced to {scheduler.lr:.6f}", is_tqdm=True)
+                    if scheduler.lr < args.lr_threshold:
+                        break
+
+                if math.isnan(float(valid_nll)):
+                    break
+
+        logger.log(f"\n[{best_step:5d}] NLL: {best_nll:.5f}  TEST: {best_test_nll:.5f}  {best_print_str}\n")
+
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        import traceback
+        logger.log(f"\n{traceback.format_exc()}\nStopped")
+    finally:
+        logger.close()
+
+
+# ---------------------------------------------------------------------------
+# test (experiments/regression/test.py)
+# ---------------------------------------------------------------------------
+
+def _add_test_parser(subparsers):
+    parser = subparsers.add_parser("test", aliases=["ts"])
+    parser.set_defaults(func=test_main)
+
+    parser.add_argument("-dr", "--data-root",  type=str, default="./data")
+    parser.add_argument("-cd", "--ckpt-dir",   type=str, required=True)
+    parser.add_argument("-ci", "--ckpt-index", type=int, default=None)
+    parser.add_argument("-vp", "--valid-prop", type=float, default=0.1)
+    parser.add_argument("-nd", "--num-data",   type=int, default=None)
+    parser.add_argument("-s",  "--seed",       type=int, default=10)
+    parser.add_argument("-q",  "--quite",      default=False, action="store_true")
+
+
+def test_main(args):
+    import glob
+
+    if args.ckpt_index is None:
+        ckpts = glob.glob(os.path.join(args.ckpt_dir, Checkpointer.FILE_MATCH))
+        if not ckpts:
+            raise SystemExit(f"no checkpoints (*.npz) found in {args.ckpt_dir}")
+        args.ckpt_index = sorted(
+            int("".join(c.split("/")[-1].split(".")[:-1])) for c in ckpts)[-1]
+
+    named = load_named(os.path.join(args.ckpt_dir,
+                                    Checkpointer.FILE_FORMAT.format(args.ckpt_index)))
+    context = np.load(os.path.join(args.ckpt_dir, "meta.npy"),
+                      allow_pickle=True).item()["args"]
+
+    logger = Logger(os.path.join(args.ckpt_dir, "test"), "test.log", quite=args.quite)
+
+    try:
+        (x_train, y_train), _, (x_test, y_test), (y_std, y_mean) = \
+            _load_splits(context["data_name"], args.data_root, args.seed)
+
+        # Restore-by-suffix with the reference's back-compat fallbacks
+        # (regression/test.py:89-99).
+        a = get_by_suffix(named, "a")
+        b = get_by_suffix(named, "b")
+        w_std = get_by_suffix(named, "w_std")
+        b_std = get_by_suffix(named, "b_std")
+        last_w_std = get_by_suffix(named, "last_w_std")
+        eps = get_by_suffix(named, "eps")
+        if eps is None:
+            eps = get_by_suffix(named, "diag_reg")
+        if last_w_std is None:
+            last_w_std = np.array(context["last_w_std"])
+
+        args_like = dict(context)
+        args_like["epsilon"] = 1.0
+        if context["method"] == "tp":
+            args_like["alpha"], args_like["beta"] = 1.0, 1.0
+        model, _ = _build_model(args_like, x_train, y_train, y_mean, y_std)
+        params = model.init_params()
+
+        # Values in the checkpoint are raw (unconstrained), assigned directly
+        # like objax .assign (regression/test.py:118-131).
+        for key, value in [("eps", eps), ("w_std", w_std), ("b_std", b_std),
+                           ("last_w_std", last_w_std), ("a", a), ("b", b)]:
+            if value is not None:
+                assign_by_suffix(params, key, value)
+
+        test_nll = jax.jit(lambda p: model.test_nll(p, x_test, y_test))(params)
+        logger.log(f"NLL: {test_nll:.5f}")
+
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        import traceback
+        logger.log(f"\n{traceback.format_exc()}\nStopped")
+    finally:
+        logger.close()

@@ -1,0 +1,176 @@
+"""Scale-mixture process models (rebuilds ``spax/models.py``).
+
+- :class:`SVSP` — Sparse Variational Stochastic Process: inducing-point
+  variational classification; Gaussian prior -> SVGP, InverseGamma prior ->
+  SVTP (``spax/models.py:15-78``).
+- :class:`SPR` — Stochastic Process Regression: exact-inference regression;
+  Gaussian likelihood -> GP, Student-t likelihood -> TP
+  (``spax/models.py:81-120``).
+
+Models are static configs; parameters are nested dicts threaded through pure
+methods (jit/grad-friendly). Kernel Gram blocks are evaluated once per step
+and shared between the inducing solve and the posterior predictive (the
+reference recomputes them inside ``kernel.predict``; the matrices are
+identical, so numerics are preserved while halving Gram cost).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from snngp.models import params as P
+from snngp.models.bijectors import positive
+from snngp.ops import log_likelihood, test_log_likelihood, get_correct_count
+from snngp.ops.linalg import add_diag_reg, add_jitter, inv_psd
+
+__all__ = ["SVSP", "SPR"]
+
+
+class SVSP:
+    """Sparse variational stochastic process classifier (spax/models.py:15-78)."""
+
+    def __init__(self, prior, kernel, inducing_variable, *, num_latent_gps: int = 1,
+                 eps: float = 1e-6):
+        self.prior = prior
+        self.kernel = kernel
+        self.num_latent_gps = num_latent_gps
+        self._inducing_init = jnp.asarray(inducing_variable, dtype=jnp.float32)
+        self.num_inducing = self._inducing_init.shape[0]
+        self._eps_init = eps
+        self.bij = positive()
+
+    def init_params(self) -> Dict:
+        return {
+            "kernel": self.kernel.init_params(),
+            "prior": self.prior.init_params(),
+            "inducing_variable": self._inducing_init,
+            "q_mu": jnp.zeros((self.num_latent_gps, self.num_inducing), jnp.float32),
+            "q_sqrt": P.constrained_init(
+                jnp.ones((self.num_latent_gps, self.num_inducing), jnp.float32), self.bij),
+            "eps": P.constrained_init(self._eps_init, self.bij),
+        }
+
+    def _posterior_pieces(self, params, x_batch):
+        """Shared Gram + solve plumbing for loss/test paths.
+
+        Returns (A_B [B,I], B_B [B,B] posterior cov, k_ii, k_ii_inv, q_mu,
+        q_sqrt) where A_B = k_bi (k_ii + eps I)^{-1} (absolute-eps jitter,
+        spax/models.py:40) and B_B = k_bb - k_bi (k_ii + r I)^{-1} k_ib with
+        nt-relative r (spax/models.py:43 via kernel.predict).
+        """
+        z = params["inducing_variable"]
+        eps = P.constrained_read(params["eps"], self.bij)
+        q_mu = params["q_mu"]
+        q_sqrt = P.constrained_read(params["q_sqrt"], self.bij)
+        kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
+
+        k_bi = self.kernel.K(kernel_fn, x_batch, z)          # [B, I]
+        k_ii = self.kernel.K(kernel_fn, z)                   # [I, I]
+        k_bb = self.kernel.K(kernel_fn, x_batch)             # [B, B]
+
+        k_ii_inv = inv_psd(add_jitter(k_ii, eps))            # [I, I]
+        a_b = k_bi @ k_ii_inv                                # [B, I]
+
+        chol_rel = jnp.linalg.cholesky(add_diag_reg(k_ii, eps))
+        v = solve_triangular(chol_rel, k_bi.T, lower=True)   # [I, B]
+        b_b = k_bb - v.T @ v                                 # [B, B]
+        return a_b, b_b, chol_rel, k_ii, k_ii_inv, q_mu, q_sqrt
+
+    def loss(self, params, key, x_batch, y_batch, num_train, num_samples, aux=False):
+        """Negative ELBO per data point (spax/models.py:30-56)."""
+        a_b, b_b, _, k_ii, k_ii_inv, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
+
+        mean = q_mu @ a_b.T                                   # [C, B]
+        # A_B diag(q_sqrt) A_B^T + B_B, batched over classes.
+        cov = jnp.einsum("ij,cj,kj->cik", a_b, q_sqrt, a_b) + b_b[None, :, :]
+        sampled_f = self.prior.sample_f(params["prior"], key, mean, cov, num_samples)
+
+        ll = log_likelihood(sampled_f, y_batch)
+        kl = self.prior.kl_divergence(
+            params["prior"], k_ii, k_ii_inv, q_mu, q_sqrt,
+            self.num_inducing, self.num_latent_gps)
+        n_elbo = -ll + kl / num_train
+        if aux:
+            return n_elbo, (-ll, kl / num_train)
+        return n_elbo
+
+    def test_acc_nll(self, params, key, x_batch, y_batch, num_samples):
+        """MC predictive NLL + correct count (spax/models.py:58-78)."""
+        a_b, b_b, chol_rel, _, _, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
+        eps = P.constrained_read(params["eps"], self.bij)
+        z = params["inducing_variable"]
+        kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
+
+        # Posterior mean with q_mu as targets through the nt-relative solve
+        # (spax/models.py:71: kernel.predict(Z, q_mu.T, x_batch)).
+        k_bi = self.kernel.K(kernel_fn, x_batch, z)
+        w = solve_triangular(chol_rel, q_mu.T, lower=True)       # [I, C]
+        vb = solve_triangular(chol_rel, k_bi.T, lower=True)      # [I, B]
+        mean = (vb.T @ w).T                                      # [C, B]
+
+        test_cov = jnp.einsum("ij,cj,kj->cik", a_b, q_sqrt, a_b) + b_b[None, :, :]
+        sampled_f = self.prior.sample_f_iid(params["prior"], key, mean, test_cov, num_samples)
+
+        nll = -test_log_likelihood(sampled_f, y_batch)
+        correct_count = get_correct_count(sampled_f, y_batch)
+        return nll, correct_count
+
+
+class SPR:
+    """Exact-inference stochastic process regression (spax/models.py:81-120)."""
+
+    def __init__(self, kernel, likelihood, x_data, y_data, y_mean, y_std, *,
+                 eps: float = 1e-6):
+        self.kernel = kernel
+        self.likelihood = likelihood
+        self.x_data = jnp.asarray(x_data)
+        self.y_data = jnp.asarray(y_data)
+        self.y_mean = y_mean
+        self.y_std = y_std
+        self.num_data = self.x_data.shape[0]
+        self._eps_init = eps
+        self.bij = positive()
+
+    def init_params(self) -> Dict:
+        p = {
+            "kernel": self.kernel.init_params(),
+            "likelihood": self.likelihood.init_params(),
+            "eps": P.constrained_init(self._eps_init, self.bij),
+        }
+        return p
+
+    def loss(self, params):
+        """Negative marginal log-likelihood / N (spax/models.py:93-98)."""
+        eps = P.constrained_read(params["eps"], self.bij)
+        kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
+        cov = self.kernel.K(kernel_fn, self.x_data) + eps * jnp.eye(self.num_data)
+        log_prob = self.likelihood.prior_logpdf(params["likelihood"], self.y_data, cov)
+        return -log_prob / self.num_data
+
+    def test_nll(self, params, x, y):
+        """Predictive NLL on de-normalized targets (spax/models.py:100-120)."""
+        eps = P.constrained_read(params["eps"], self.bij)
+        kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
+        mean, cov = self.kernel.predict(
+            kernel_fn, self.x_data, self.y_data[:, None], x, eps=eps)
+
+        require = self.likelihood.require
+        if require:
+            cov_data = self.kernel.K(kernel_fn, self.x_data)
+            aux_dict = dict(cov_data=cov_data, y_data=self.y_data)
+            aux = tuple(aux_dict[k] for k in require)
+        else:
+            aux = None
+
+        log_prob = self.likelihood.logpdf(
+            params["likelihood"],
+            (y * self.y_std) + self.y_mean,
+            (mean.flatten() * self.y_std) + self.y_mean,
+            cov * self.y_std ** 2,
+            aux,
+        )
+        return -jnp.mean(log_prob)

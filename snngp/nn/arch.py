@@ -1,0 +1,135 @@
+"""Architecture builders (TPU-native replacement for experiments/nt_kernels.py).
+
+Each ``get_*_kernel`` mirrors the corresponding reference builder
+(``experiments/nt_kernels.py:21-103``) and returns a ``kernel_fn(x1, x2,
+get="nngp")`` closure over the (possibly traced) scale hyperparameters, so that
+ML-II gradients flow through the full layer recursion exactly as in the
+reference (``spax/kernels.py:37-41``).
+
+``get_*_layer`` variants return the composed :class:`snngp.nn.layers.Layer`
+(giving access to finite-width init/apply for the ensemble baseline,
+reference ``experiments/ensemble/train.py:57-65``).
+"""
+
+from __future__ import annotations
+
+from snngp.nn import layers as L
+
+__all__ = [
+    "get_act",
+    "get_mlp_kernel",
+    "get_cnn_kernel",
+    "get_conv_resnet_kernel",
+    "get_dense_resnet_kernel",
+    "get_mlp_layer",
+    "get_cnn_layer",
+    "get_conv_resnet_layer",
+    "get_dense_resnet_layer",
+    "KERNELS",
+]
+
+
+def get_act(act: str) -> L.Layer:
+    if act == "relu":
+        return L.Relu()
+    if act == "erf":
+        return L.Erf()
+    raise KeyError(f"Unsupported act '{act}'")
+
+
+def get_mlp_layer(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                  last_w_std=1.0, width=512) -> L.Layer:
+    """N x [Dense(512) + act] + Dense(num_class)  (nt_kernels.py:21-31)."""
+    stack = []
+    for _ in range(num_hiddens):
+        stack.append(L.Dense(width, w_std=w_std, b_std=b_std))
+        stack.append(get_act(act))
+    stack.append(L.Dense(num_class, w_std=last_w_std))
+    return L.serial(*stack)
+
+
+def get_cnn_layer(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                  last_w_std=1.0, channels=1) -> L.Layer:
+    """N x [Conv3x3 SAME + act] + Flatten + Dense  (nt_kernels.py:34-45)."""
+    stack = []
+    for _ in range(num_hiddens):
+        stack.append(L.Conv(channels, (3, 3), (1, 1), "SAME", w_std=w_std, b_std=b_std))
+        stack.append(get_act(act))
+    stack.append(L.Flatten())
+    stack.append(L.Dense(num_class, w_std=last_w_std))
+    return L.serial(*stack)
+
+
+def get_conv_resnet_layer(num_hiddens, num_class, act="relu", w_std=1.0,
+                          b_std=0.0, last_w_std=1.0, k=1) -> L.Layer:
+    """WideResNet NNGP: FanOut/parallel/FanInSum residual blocks, 4 groups with
+    stride-2 downsampling (nt_kernels.py:48-80). Channel counts only affect the
+    finite-width path (the kernel recursion is width-independent)."""
+    act_layer = lambda: get_act(act)
+
+    def block(channels, strides=(1, 1), channel_mismatch=False):
+        main = L.serial(
+            act_layer(), L.Conv(channels, (3, 3), strides, "SAME", w_std=w_std, b_std=b_std),
+            act_layer(), L.Conv(channels, (3, 3), (1, 1), "SAME", w_std=w_std, b_std=b_std),
+        )
+        shortcut = (L.Identity() if not channel_mismatch
+                    else L.Conv(channels, (3, 3), strides, "SAME", w_std=w_std, b_std=b_std))
+        return L.serial(L.FanOut(2), L.parallel(main, shortcut), L.FanInSum())
+
+    def group(n, channels, strides=(1, 1)):
+        blocks = [block(channels, strides, channel_mismatch=True)]
+        for _ in range(n - 1):
+            blocks.append(block(channels, (1, 1)))
+        return L.serial(*blocks)
+
+    return L.serial(
+        L.Conv(16, (3, 3), (1, 1), "SAME", w_std=w_std, b_std=b_std),
+        group(num_hiddens, int(8 * k)),
+        group(num_hiddens, int(16 * k), (2, 2)),
+        group(num_hiddens, int(32 * k), (2, 2)),
+        group(num_hiddens, int(64 * k), (2, 2)),
+        L.Flatten(),
+        L.Dense(num_class, w_std=last_w_std),
+    )
+
+
+def get_dense_resnet_layer(num_hiddens, num_class=1, act="relu", w_std=1.0,
+                           b_std=0.0, last_w_std=1.0, width=512) -> L.Layer:
+    """Dense residual blocks (nt_kernels.py:83-103)."""
+
+    def res_block():
+        return L.serial(
+            L.FanOut(2),
+            L.parallel(
+                L.serial(get_act(act), L.Dense(width, w_std=w_std, b_std=b_std)),
+                L.Identity(),
+            ),
+            L.FanInSum(),
+        )
+
+    stack = [L.Dense(width, w_std=w_std, b_std=b_std)]
+    stack += [res_block() for _ in range(num_hiddens)]
+    stack += [get_act(act), L.Dense(num_class, w_std=last_w_std)]
+    return L.serial(*stack)
+
+
+def _as_kernel_fn(builder):
+    def get_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                   last_w_std=1.0, **kw):
+        layer = builder(num_hiddens, num_class, act, w_std, b_std, last_w_std, **kw)
+        return L.kernel_fn_of(layer)
+
+    return get_kernel
+
+
+get_mlp_kernel = _as_kernel_fn(get_mlp_layer)
+get_cnn_kernel = _as_kernel_fn(get_cnn_layer)
+get_conv_resnet_kernel = _as_kernel_fn(get_conv_resnet_layer)
+get_dense_resnet_kernel = _as_kernel_fn(get_dense_resnet_layer)
+
+KERNELS = {
+    "mlp": get_mlp_kernel,
+    "cnn": get_cnn_kernel,
+    "resnet-conv": get_conv_resnet_kernel,
+    "resnet-dense": get_dense_resnet_kernel,
+}

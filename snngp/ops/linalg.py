@@ -1,0 +1,149 @@
+"""Dense linear algebra core: Cholesky-everything.
+
+Replaces the reference's scattered ``jnp.linalg.inv`` (``spax/models.py:40``,
+``spax/likelihoods.py:60``), ``slogdet`` (``spax/utils.py:38-40``) and
+``neural_tangents.predict.gradient_descent_mse_ensemble``
+(``spax/kernels.py:29-32``) with solve-based primitives that map onto the MXU:
+one Cholesky factorization feeds the predictive mean, covariance, quadratic
+form, and log-determinant.
+
+Semantics notes for parity with the reference:
+
+- ``gp_predict`` regularizes with ``diag_reg * mean(diag(K)) * I`` — the
+  *relative* scaling used by neural_tangents' ``gradient_descent_mse_ensemble``
+  default (``diag_reg_absolute_scale=False``).
+- ``jitter`` is the absolute ``eps * I`` used directly by the reference
+  (``spax/utils.py:26-27``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_factor, cho_solve, solve_triangular
+
+__all__ = [
+    "jitter",
+    "add_jitter",
+    "add_diag_reg",
+    "logdet",
+    "trace",
+    "split_kernel",
+    "cholesky",
+    "chol_solve",
+    "chol_logdet",
+    "chol_quad_form",
+    "solve_psd",
+    "inv_psd",
+    "gp_predict",
+    "mvn_logpdf",
+]
+
+
+def jitter(num: int, eps=1e-6, dtype=jnp.float32) -> jax.Array:
+    """eps * I (spax/utils.py:26-27)."""
+    return eps * jnp.eye(num, dtype=dtype)
+
+
+def add_jitter(mat: jax.Array, eps=1e-6) -> jax.Array:
+    return mat + eps * jnp.eye(mat.shape[-1], dtype=mat.dtype)
+
+
+def add_diag_reg(mat: jax.Array, diag_reg) -> jax.Array:
+    """K + diag_reg * mean(diag(K)) * I — neural_tangents' relative diag_reg."""
+    n = mat.shape[-1]
+    scale = jnp.trace(mat, axis1=-2, axis2=-1) / n
+    return mat + (diag_reg * scale)[..., None, None] * jnp.eye(n, dtype=mat.dtype)
+
+
+def logdet(mat: jax.Array) -> jax.Array:
+    """Summed log-determinant over leading batch dims (spax/utils.py:38-40)."""
+    sign, abslogdet = jnp.linalg.slogdet(mat)
+    return jnp.sum(sign * abslogdet)
+
+
+def trace(mat: jax.Array) -> jax.Array:
+    """Summed trace over leading batch dims (spax/utils.py:43-44)."""
+    return jnp.sum(jnp.trace(mat, axis1=-2, axis2=-1))
+
+
+def split_kernel(kernel: jax.Array, num_11: int):
+    """2x2 block split (spax/utils.py:30-35)."""
+    return (kernel[:num_11, :num_11], kernel[:num_11, num_11:],
+            kernel[num_11:, :num_11], kernel[num_11:, num_11:])
+
+
+def cholesky(mat: jax.Array) -> jax.Array:
+    return jnp.linalg.cholesky(mat)
+
+
+def chol_solve(chol: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve A x = b given lower Cholesky factor of A."""
+    return cho_solve((chol, True), b)
+
+
+def chol_logdet(chol: jax.Array) -> jax.Array:
+    """log det A = 2 sum log diag(L)."""
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+
+
+def chol_quad_form(chol: jax.Array, y: jax.Array) -> jax.Array:
+    """y^T A^{-1} y via one triangular solve."""
+    alpha = solve_triangular(chol, y, lower=True)
+    return jnp.sum(alpha * alpha, axis=-1 if y.ndim == 1 else -2)
+
+
+def solve_psd(mat: jax.Array, b: jax.Array) -> jax.Array:
+    """PSD solve A^{-1} b (replacement for inv(A) @ b patterns)."""
+    return cho_solve(cho_factor(mat, lower=True), b)
+
+
+def inv_psd(mat: jax.Array) -> jax.Array:
+    """Explicit PSD inverse, for sites where the reference materializes
+    ``jnp.linalg.inv`` (spax/models.py:40,68) and the inverse is reused against
+    several right-hand sides and inside trace/einsum contractions."""
+    n = mat.shape[-1]
+    return cho_solve(cho_factor(mat, lower=True), jnp.eye(n, dtype=mat.dtype))
+
+
+def gp_predict(
+    kernel_fn,
+    x_train: jax.Array,
+    y_train: jax.Array,
+    x_test: jax.Array,
+    diag_reg=1e-6,
+    compute_cov: bool = True,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Exact NNGP posterior: mean = K*^T (K + r I)^-1 y, cov = K** - K*^T (K + r I)^-1 K*.
+
+    Drop-in for ``neural_tangents.predict.gradient_descent_mse_ensemble(...)(
+    x_test, get="nngp", compute_cov=True)`` as used at ``spax/kernels.py:29-32``
+    and ``experiments/regression/find.py:73-78``, including the trace-relative
+    ``diag_reg`` scaling.
+    """
+    k_dd = kernel_fn(x_train, x_train, get="nngp")
+    k_td = kernel_fn(x_test, x_train, get="nngp")
+    chol = jnp.linalg.cholesky(add_diag_reg(k_dd, diag_reg))
+    mean = k_td @ chol_solve(chol, y_train)
+    if not compute_cov:
+        return mean, None
+    k_tt = kernel_fn(x_test, x_test, get="nngp")
+    v = solve_triangular(chol, k_td.T, lower=True)
+    cov = k_tt - v.T @ v
+    return mean, cov
+
+
+def mvn_logpdf(y: jax.Array, cov: jax.Array) -> jax.Array:
+    """Zero-mean multivariate normal log-density via one Cholesky.
+
+    Fused replacement for ``jax.scipy.stats.multivariate_normal.logpdf``
+    (``spax/likelihoods.py:25-28``): logdet from the factor diagonal and the
+    quadratic form from one triangular solve.
+    """
+    n = y.shape[-1]
+    chol = jnp.linalg.cholesky(cov)
+    quad = chol_quad_form(chol, y)
+    return -0.5 * (quad + chol_logdet(chol) + n * jnp.log(2.0 * jnp.pi))

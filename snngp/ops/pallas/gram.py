@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused MLP-NNGP Gram materialization.
+
+The reference materializes one [N, N] buffer per layer through
+neural_tangents' layer recursion (``spax/kernels.py:23-27`` +
+``nt_kernels.py:21-31``): HBM traffic ~ 2 * depth * N^2 * 4 bytes. This kernel
+fuses the entire depth recursion per output tile in VMEM:
+
+- the diagonal (variance) recursion is 1-D and runs outside the kernel
+  (O(N * depth), negligible);
+- the kernel grid tiles the [N1, N2] output; each program computes the input
+  second-moment tile on the MXU (x_rows @ x_cols^T / D) and then applies the
+  closed-form Dense/activation recursion elementwise on the VPU using the
+  per-layer variance slices — one HBM write per output element.
+
+Differentiable w.r.t. (w_std, b_std, last_w_std) via custom VJP: the forward
+runs the fused kernel; the backward recomputes through the reference-tier
+recursion (identical closed forms) and lets XLA differentiate it — gradients
+are only needed at training-scale N where the extra memory is affordable
+(Pallas guide, "Patterns: Custom VJP").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mlp_gram", "mlp_var_stack"]
+
+
+def _acos(c):
+    """arccos on [-1, 1] built from sqrt/fma/select only.
+
+    Pallas TPU lowers no inverse-trig primitives (acos/asin/atan2), so we
+    implement it: Abramowitz & Stegun 4.4.46 minimax polynomial,
+    arccos(x) = sqrt(1-x) * P7(x) on [0, 1] (|err| <= 2e-8, below fp32 eps),
+    reflected to [-1, 0) via arccos(x) = pi - arccos(-x).
+    """
+    a = jnp.abs(c)
+    p = jnp.float32(-0.0012624911)
+    for coef in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+                 0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * a + jnp.float32(coef)
+    acos_abs = jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * p
+    return jnp.where(c < 0.0, jnp.pi - acos_abs, acos_abs)
+
+
+def _asin(c):
+    return 0.5 * jnp.pi - _acos(c)
+
+
+def _relu_t(k, v1, v2):
+    s = jnp.sqrt(jnp.maximum(v1 * v2, 1e-30))
+    c = jnp.clip(k / s, -1.0, 1.0)
+    theta = _acos(c)
+    # sin(theta) = sqrt(1 - c^2) exactly on [0, pi] — avoids a sin() lowering.
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
+    return (s * sin_t + (jnp.pi - theta) * k) / (2.0 * jnp.pi)
+
+
+def _erf_t(k, v1, v2):
+    denom = jnp.sqrt((1.0 + 2.0 * v1) * (1.0 + 2.0 * v2))
+    return (2.0 / jnp.pi) * _asin(jnp.clip(2.0 * k / denom, -1.0, 1.0))
+
+
+_ACT_T = {"relu": _relu_t, "erf": _erf_t}
+
+
+def mlp_var_stack(x: jax.Array, depth: int, act: str, w_std, b_std,
+                  feature_dim=None) -> jax.Array:
+    """Pre-activation variance vectors per hidden layer: [depth + 1, N].
+
+    Row 0 is the input second moment |x|^2 / D; row l (1-indexed) is the
+    variance after the l-th Dense, i.e. the v entering the l-th activation.
+    ``feature_dim`` overrides the normalizer when ``x`` is zero-padded along
+    features (padding must not change D).
+    """
+    w2 = w_std * w_std
+    b2 = b_std * b_std
+    v = jnp.sum(x * x, axis=-1) / (feature_dim or x.shape[-1])
+    out = [v]
+    for _ in range(depth):
+        v = w2 * v + b2              # Dense
+        out.append(v)
+        if act == "relu":
+            v = v / 2.0              # post-activation variance
+        else:
+            v = (2.0 / jnp.pi) * jnp.arcsin(jnp.clip(2.0 * v / (1.0 + 2.0 * v),
+                                                     -1.0, 1.0))
+    return jnp.stack(out)
+
+
+def _gram_kernel(scale_ref, x1_ref, x2_ref, v1_ref, v2_ref, out_ref, *,
+                 depth: int, act: str):
+    """One (TM, TN) output tile: MXU input moment + fused depth recursion."""
+    w2 = scale_ref[0]
+    b2 = scale_ref[1]
+    last2 = scale_ref[2]
+    inv_d = scale_ref[3]
+
+    t_fn = _ACT_T[act]
+    k = jnp.dot(x1_ref[:], x2_ref[:].T, preferred_element_type=jnp.float32) * inv_d
+
+    for layer in range(depth):
+        k = w2 * k + b2                                   # Dense(width)
+        v1 = v1_ref[layer + 1, :]
+        v2 = v2_ref[layer + 1, :]
+        k = t_fn(k, v1[:, None], v2[None, :])             # dual activation
+    out_ref[:] = last2 * k                                # final Dense
+
+
+def _mlp_gram_pallas(x1, x2, v1s, v2s, scales, *, depth, act, tile):
+    n1, d = x1.shape
+    n2 = x2.shape[0]
+    v1s_rows = v1s.shape[0]
+    tm, tn = tile
+    grid = (n1 // tm, n2 // tn)
+    kernel = functools.partial(_gram_kernel, depth=depth, act=act)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tm, d), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((tn, d), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((v1s_rows, tm), lambda i, j, *_: (0, i)),
+                pl.BlockSpec((v1s_rows, tn), lambda i, j, *_: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n1 * n2 * d + 10 * depth * n1 * n2,
+            bytes_accessed=(n1 * d + n2 * d + n1 * n2) * 4,
+            transcendentals=2 * depth * n1 * n2,
+        ),
+    )(scales, x1, x2, v1s, v2s)
+
+
+def _reference_recursion(x1, x2, depth, act, w_std, b_std, last_w_std):
+    """Plain-jnp recursion with identical math (backward surrogate/goldens)."""
+    from snngp.nn import arch
+    kfn = arch.get_mlp_kernel(depth, 1, act, w_std=w_std, b_std=b_std,
+                              last_w_std=last_w_std)
+    return kfn(x1, x2, get="nngp")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    tm, tn = tile
+    n1, n2 = x1.shape[0], x2.shape[0]
+    # Pad rows/cols to tile multiples and features to the 128 lane width
+    # (zero features add zero moments; padded rows are sliced off).
+    p1 = (-n1) % tm
+    p2 = (-n2) % tn
+    pd = (-x1.shape[-1]) % 128
+    x1p = jnp.pad(x1.astype(jnp.float32), ((0, p1), (0, pd)))
+    x2p = jnp.pad(x2.astype(jnp.float32), ((0, p2), (0, pd)))
+
+    # Pad the layer axis to the fp32 sublane minimum (8) — sub-minimal blocks
+    # mis-tile on TPU.
+    rows = max(8, -(-(depth + 1) // 8) * 8)
+    v1s = mlp_var_stack(x1p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
+    v2s = mlp_var_stack(x2p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
+    v1s = jnp.pad(v1s, ((0, rows - depth - 1), (0, 0)))
+    v2s = jnp.pad(v2s, ((0, rows - depth - 1), (0, 0)))
+
+    scales = jnp.stack([
+        jnp.asarray(w_std, jnp.float32) ** 2,
+        jnp.asarray(b_std, jnp.float32) ** 2,
+        jnp.asarray(last_w_std, jnp.float32) ** 2,
+        jnp.asarray(1.0 / x1.shape[-1], jnp.float32),
+    ])
+    out = _mlp_gram_pallas(x1p, x2p, v1s, v2s, scales, depth=depth, act=act,
+                           tile=tile)
+    return out[:n1, :n2]
+
+
+def _mlp_gram_fwd(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    out = _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std)
+    return out, (x1, x2, w_std, b_std, last_w_std)
+
+
+def _mlp_gram_bwd(depth, act, tile, res, g):
+    x1, x2, w_std, b_std, last_w_std = res
+    _, vjp = jax.vjp(
+        lambda a, b, w, bs, l: _reference_recursion(a, b, depth, act, w, bs, l),
+        x1, x2, w_std, b_std, last_w_std)
+    return vjp(g)
+
+
+_mlp_gram.defvjp(_mlp_gram_fwd, _mlp_gram_bwd)
+
+
+def mlp_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
+             w_std, b_std, last_w_std,
+             tile: Tuple[int, int] = (256, 256)) -> jax.Array:
+    """Fused MLP-NNGP Gram — drop-in for
+    ``arch.get_mlp_kernel(depth, act=act, ...)(x1, x2, get="nngp")``."""
+    if act not in _ACT_T:
+        raise KeyError(f"unsupported act '{act}'")
+    return _mlp_gram(depth, act, tuple(tile), x1, x2,
+                     jnp.asarray(w_std, jnp.float32),
+                     jnp.asarray(b_std, jnp.float32),
+                     jnp.asarray(last_w_std, jnp.float32))

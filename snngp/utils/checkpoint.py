@@ -1,0 +1,64 @@
+"""Checkpointing in the reference's .npz named-variable format.
+
+``save_params`` writes ``{"names": [...], "0": leaf0, "1": leaf1, ...}`` —
+byte-compatible with objax's ``save_var_collection`` layout that the
+reference's test subcommands restore from by *name suffix*
+(``experiments/regression/test.py:38-43``, ``classification/test.py:60-65``).
+Stored values are the raw (unconstrained) parameters, exactly as objax stores
+``TrainVar._value``.
+
+:class:`Checkpointer` reproduces the best-loss-gated save + keep-last-k
+pruning of ``experiments/utils.py:98-127``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict
+
+import numpy as np
+
+from snngp.models.params import named_leaves
+
+__all__ = ["save_params", "load_named", "Checkpointer"]
+
+
+def save_params(path: str, params) -> None:
+    leaves = named_leaves(params)
+    payload = {"names": np.array([n for n, _ in leaves])}
+    for i, (_, v) in enumerate(leaves):
+        payload[str(i)] = np.asarray(v)
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+
+
+def load_named(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint as {dotted_name: value}."""
+    data = np.load(path, allow_pickle=False)
+    names = [str(n) for n in data["names"]]
+    return {name: data[str(i)] for i, name in enumerate(names)}
+
+
+class Checkpointer:
+    FILE_MATCH: str = "*.npz"
+    FILE_FORMAT: str = "{:03d}.npz"
+
+    def __init__(self, logdir: str, keep_ckpts: int = 10, makedir: bool = True):
+        self.logdir = logdir
+        self.keep_ckpts = keep_ckpts
+        if makedir:
+            os.makedirs(logdir, exist_ok=True)
+        self.best_loss = float("inf")
+
+    def save(self, idx: int, params) -> None:
+        save_params(os.path.join(self.logdir, self.FILE_FORMAT.format(idx)), params)
+        for ckpt in sorted(glob.glob(os.path.join(self.logdir, self.FILE_MATCH)))[:-self.keep_ckpts]:
+            os.remove(ckpt)
+
+    def step(self, idx: int, loss: float, params) -> bool:
+        if loss < self.best_loss:
+            self.best_loss = loss
+            self.save(idx, params)
+            return True
+        return False

@@ -1,0 +1,81 @@
+"""End-to-end CLI smoke tests: the §3.1/§3.2 call stacks on tiny budgets —
+train writes best-gated checkpoints + meta, test restores by suffix and
+reports NLL (SURVEY.md §3.3)."""
+
+import glob
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def _run_cli(argv):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import run as run_mod
+    run_mod.main(argv)
+
+
+def test_regression_train_then_test(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "reg", "tr", "-m", "tp", "-dn", "syn-normal", "-cr", ckpt_root,
+        "-cn", "smoke", "-t", "20", "-vi", "10", "-pi", "10", "-nh", "2", "-eps", "1e-2", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "smoke")
+    assert glob.glob(os.path.join(ckpt_dir, "*.npz")), "no checkpoint saved"
+    assert os.path.isfile(os.path.join(ckpt_dir, "meta.npy"))
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "NLL:" in log and "Traceback" not in log
+
+    _run_cli(["reg", "ts", "-cd", ckpt_dir, "-q"])
+    test_log = open(os.path.join(ckpt_dir, "test", "test.log")).read()
+    assert "NLL:" in test_log and "Traceback" not in test_log
+
+
+def test_regression_train_gp_smoke(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "reg", "tr", "-m", "gp", "-dn", "syn-normal", "-cr", ckpt_root,
+        "-cn", "smoke-gp", "-t", "10", "-vi", "5", "-pi", "5", "-nh", "2", "-eps", "1e-2",
+        "-n", "resnet", "-q",
+    ])
+    log = open(os.path.join(ckpt_root, "smoke-gp", "train.log")).read()
+    assert "NLL:" in log and "Traceback" not in log
+
+
+@pytest.mark.slow
+def test_classification_train_then_test(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svtp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "smoke", "-e", "1", "-nd", "300", "-ni", "20", "-nb", "50",
+        "-ns", "8", "-nvs", "16", "-nh", "1", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "smoke")
+    assert glob.glob(os.path.join(ckpt_dir, "*.npz"))
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "nELBO" in log and "Traceback" not in log
+
+    _run_cli(["cls", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "100", "-nb", "50", "-ns", "64", "-q"])
+    test_logs = glob.glob(os.path.join(ckpt_dir, "test", "*.log"))
+    assert test_logs
+    content = open(test_logs[0]).read()
+    assert "ACC:" in content and "Traceback" not in content
+
+
+@pytest.mark.slow
+def test_ensemble_train_then_test(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "ens", "tr", "-m", "tp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "smoke", "-e", "1", "-nd", "300", "-nb", "100", "-nh", "1",
+        "-nc", "8", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "smoke")
+    saves = [f for f in glob.glob(os.path.join(ckpt_dir, "*.npy"))
+             if not f.endswith("meta.npy")]
+    assert saves, "no ensemble member checkpoint"
+    _run_cli(["ens", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "100", "-q"])

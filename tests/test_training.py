@@ -1,0 +1,93 @@
+"""Training-substrate tests: objax-exact Adam, SGD, plateau scheduler,
+DataLoader reshuffle semantics, checkpoint round-trip + suffix restore."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from snngp.utils import (
+    Adam, SGD, name_mask, DataLoader, ReduceLROnPlateau, Checkpointer,
+    save_params, load_named,
+)
+from snngp.models.params import get_by_suffix
+
+
+def test_adam_matches_objax_formula():
+    """One manual objax-Adam step (SURVEY C14/X3 parity requirement)."""
+    p0, g = 2.0, 0.5
+    lr, b1, b2, eps = 0.1, 0.9, 0.999, 1e-8
+    params = {"p": jnp.array(p0)}
+    opt = Adam()
+    state = opt.init(params)
+    new, state = opt.update({"p": jnp.array(g)}, state, params, lr)
+
+    m = (1 - b1) * g
+    v = (1 - b2) * g * g
+    lr_t = lr * np.sqrt(1 - b2) / (1 - b1)
+    expect = p0 - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(float(new["p"]), expect, rtol=1e-6)
+
+    # second step
+    new2, state = opt.update({"p": jnp.array(g)}, state, new, lr)
+    m2 = m + (1 - b1) * (g - m)
+    v2 = v + (1 - b2) * (g * g - v)
+    lr_t2 = lr * np.sqrt(1 - b2 ** 2) / (1 - b1 ** 2)
+    expect2 = expect - lr_t2 * m2 / (np.sqrt(v2) + eps)
+    np.testing.assert_allclose(float(new2["p"]), expect2, rtol=1e-6)
+
+
+def test_sgd_and_mask():
+    params = {"a": jnp.array(1.0), "frozen": {"last_w_std": jnp.array(5.0)}}
+    mask = name_mask(params, lambda n: "last_w_std" not in n)
+    opt = SGD(mask=mask)
+    state = opt.init(params)
+    grads = {"a": jnp.array(1.0), "frozen": {"last_w_std": jnp.array(1.0)}}
+    new, _ = opt.update(grads, state, params, 0.5)
+    assert float(new["a"]) == 0.5
+    assert float(new["frozen"]["last_w_std"]) == 5.0
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+    assert not s.step(1.0)
+    for _ in range(2):
+        assert not s.step(1.0)  # bad epochs 1, 2
+    assert s.step(1.0)  # bad epoch 3 > patience -> reduce
+    assert s.lr == 0.5
+
+
+def test_dataloader_shuffle_reproducible():
+    x = np.arange(10)[:, None]
+    y = np.arange(10)
+    dl1 = DataLoader(x, y, batch_size=4, shuffle=True, seed=3)
+    dl2 = DataLoader(x, y, batch_size=4, shuffle=True, seed=3)
+    b1 = [yb.tolist() for _, yb in dl1]
+    b2 = [yb.tolist() for _, yb in dl2]
+    assert b1 == b2
+    b1b = [yb.tolist() for _, yb in dl1]  # epoch 2 reshuffles
+    assert b1 != b1b
+    assert sorted(sum(b1, [])) == list(range(10))
+
+
+def test_checkpoint_roundtrip_and_suffix(tmp_path):
+    params = {"kernel": {"w_std": jnp.array(1.5), "b_std": jnp.array(0.2)},
+              "eps": jnp.array(1e-4)}
+    path = os.path.join(tmp_path, "000.npz")
+    save_params(path, params)
+    named = load_named(path)
+    assert set(named) == {"eps", "kernel.b_std", "kernel.w_std"}
+    np.testing.assert_allclose(get_by_suffix(named, "w_std"), 1.5)
+    np.testing.assert_allclose(get_by_suffix(named, "eps"), 1e-4)
+
+
+def test_checkpointer_best_gating(tmp_path):
+    ck = Checkpointer(str(tmp_path), keep_ckpts=2)
+    params = {"p": jnp.array(0.0)}
+    assert ck.step(0, 1.0, params)
+    assert not ck.step(1, 2.0, params)   # worse -> no save
+    assert ck.step(2, 0.5, params)
+    assert ck.step(3, 0.25, params)
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["002.npz", "003.npz"]  # pruned to keep_ckpts
