@@ -23,6 +23,10 @@ _pre_args, main_args = _pre.parse_known_args()
 if _pre_args.fraction is not None:
     os.environ["XLA_PYTHON_CLIENT_MEM_FRACTION"] = str(_pre_args.fraction)
 
+if _pre_args.devices is not None:
+    # Consumed by drivers to build an N-device jax.sharding.Mesh (D1).
+    os.environ["SNNGP_MESH_DEVICES"] = str(_pre_args.devices)
+
 import snngp.cli  # noqa: E402  (imports JAX)
 
 

@@ -148,6 +148,15 @@ def train_main(args):
         network, _ = _resolve_network(args.network)
         args.network = network
         model, _ = _build_model(vars(args), x_train, y_train, y_mean, y_std)
+
+        n_mesh = int(os.environ.get("SNNGP_MESH_DEVICES", "1"))
+        if n_mesh > 1:
+            from snngp.parallel import get_mesh
+            model.mesh = get_mesh(n_mesh)
+            from functools import partial
+            from snngp.parallel.cholesky import blocked_cholesky
+            model.likelihood.chol_fn = partial(blocked_cholesky, block=512)
+            logger.log(f"Mesh: {n_mesh} devices (sharded Gram + blocked Cholesky)")
         params = model.init_params()
 
         optimizer = Adam() if args.optimizer == "adam" else SGD()

@@ -124,7 +124,7 @@ class SPR:
     """Exact-inference stochastic process regression (spax/models.py:81-120)."""
 
     def __init__(self, kernel, likelihood, x_data, y_data, y_mean, y_std, *,
-                 eps: float = 1e-6):
+                 eps: float = 1e-6, mesh=None, chol_block: int = 512):
         self.kernel = kernel
         self.likelihood = likelihood
         self.x_data = jnp.asarray(x_data)
@@ -134,6 +134,15 @@ class SPR:
         self.num_data = self.x_data.shape[0]
         self._eps_init = eps
         self.bij = positive()
+        # Distributed execution (SURVEY.md D1-D3): row-sharded Gram over the
+        # mesh + blocked distributed Cholesky inside the marginal likelihood.
+        self.mesh = mesh
+        if mesh is not None:
+            from functools import partial as _partial
+            from snngp.parallel.cholesky import blocked_cholesky
+            if getattr(self.likelihood, "chol_fn", None) is None:
+                self.likelihood.chol_fn = _partial(blocked_cholesky,
+                                                   block=chol_block)
 
     def init_params(self) -> Dict:
         p = {
@@ -143,11 +152,18 @@ class SPR:
         }
         return p
 
+    def _gram(self, kernel_fn):
+        """Full training Gram; row-sharded over the mesh when configured."""
+        if self.mesh is not None and self.num_data % self.mesh.size == 0:
+            from snngp.parallel.gram import sharded_gram
+            return sharded_gram(kernel_fn, self.x_data, self.mesh)
+        return self.kernel.K(kernel_fn, self.x_data)
+
     def loss(self, params):
         """Negative marginal log-likelihood / N (spax/models.py:93-98)."""
         eps = P.constrained_read(params["eps"], self.bij)
         kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
-        cov = self.kernel.K(kernel_fn, self.x_data) + eps * jnp.eye(self.num_data)
+        cov = self._gram(kernel_fn) + eps * jnp.eye(self.num_data)
         log_prob = self.likelihood.prior_logpdf(params["likelihood"], self.y_data, cov)
         return -log_prob / self.num_data
 

@@ -35,9 +35,13 @@ class Likelihood:
 class GaussianLikelihood(Likelihood):
     require = None
 
+    def __init__(self, chol_fn=None):
+        # chol_fn swaps in a distributed factorization on a mesh (D3).
+        self.chol_fn = chol_fn
+
     def prior_logpdf(self, params, x, cov):
         """Zero-mean MVN marginal log-likelihood (spax/likelihoods.py:25-28)."""
-        return mvn_logpdf(x, cov)
+        return mvn_logpdf(x, cov, chol_fn=self.chol_fn)
 
     def logpdf(self, params, x, mean, cov, aux):
         """Diagonal-Normal predictive density (spax/likelihoods.py:30-33)."""
@@ -48,10 +52,11 @@ class GaussianLikelihood(Likelihood):
 class StudentTLikelihood(Likelihood):
     require = ["cov_data", "y_data"]
 
-    def __init__(self, alpha: float, beta: float):
+    def __init__(self, alpha: float, beta: float, chol_fn=None):
         self.alpha = alpha
         self.beta = beta
         self.bij = positive()
+        self.chol_fn = chol_fn
 
     def init_params(self):
         return {
@@ -68,7 +73,8 @@ class StudentTLikelihood(Likelihood):
         (spax/likelihoods.py:45-50)."""
         a, b = self._ab(params)
         zero = jnp.zeros_like(x)
-        return multivariate_t_logpdf(x, zero, (b / a) * cov, 2 * a)
+        return multivariate_t_logpdf(x, zero, (b / a) * cov, 2 * a,
+                                     chol_fn=self.chol_fn)
 
     def logpdf(self, params, x, mean, cov, aux):
         """Conditional-t predictive (spax/likelihoods.py:52-65):

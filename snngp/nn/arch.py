@@ -122,7 +122,33 @@ def _as_kernel_fn(builder):
     return get_kernel
 
 
-get_mlp_kernel = _as_kernel_fn(get_mlp_layer)
+_MIN_FUSED_N = 256
+
+
+def _use_fused_mlp(x1, x2, get):
+    import jax
+    return (get == "nngp" and x1.ndim == 2
+            and min(x1.shape[0], x2.shape[0]) >= _MIN_FUSED_N
+            and jax.default_backend() == "tpu")
+
+
+def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                   last_w_std=1.0, width=512):
+    """MLP kernel_fn with TPU auto-dispatch to the Pallas fused Gram kernel
+    (snngp/ops/pallas/gram.py) for large nngp blocks; falls back to the
+    reference-tier recursion elsewhere (CPU, small N, ntk requests)."""
+    ref_fn = _as_kernel_fn(get_mlp_layer)(
+        num_hiddens, num_class, act, w_std, b_std, last_w_std, width=width)
+
+    def kernel_fn(x1, x2=None, get="nngp"):
+        x2_eff = x1 if x2 is None else x2
+        if _use_fused_mlp(x1, x2_eff, get):
+            from snngp.ops.pallas.gram import mlp_gram
+            return mlp_gram(x1, x2_eff, depth=num_hiddens, act=act,
+                            w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+        return ref_fn(x1, x2, get=get)
+
+    return kernel_fn
 get_cnn_kernel = _as_kernel_fn(get_cnn_layer)
 get_conv_resnet_kernel = _as_kernel_fn(get_conv_resnet_layer)
 get_dense_resnet_kernel = _as_kernel_fn(get_dense_resnet_layer)

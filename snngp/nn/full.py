@@ -1,0 +1,241 @@
+"""Full spatial-covariance NNGP/NTK tier — pooled conv architectures.
+
+The matched-pixel tier (snngp/nn/layers.py) is exact only for Flatten
+readouts. Average pooling mixes *different* pixels of the same input, so the
+recursion must carry the full pixel-pair covariance:
+
+    nngp: [N1, N2, H, W, H, W]   (p1 in input-1, p2 in input-2)
+    cov1: [N1, H, W, H, W]       (same-input pixel-pair covariance)
+    cov2: [N2, H, W, H, W]
+
+Closed forms (all same-offset: i.i.d. filter taps only couple equal offsets):
+
+- Conv:     K'[p1, p2] = w^2/F * sum_d K[s p1 + d, s p2 + d] + b^2
+- Act:      elementwise in (p1, p2) with variances at the spatial diagonal
+- AvgPool:  independent window means over p1 and p2
+- GAP:      mean over all (p1, p2) -> dense [N1, N2]
+- Flatten:  mean over the diagonal p1 == p2 (consistent with the cheap tier)
+
+This is the representation behind Myrtle-style CIFAR kernels (used by
+``get_myrtle_kernel``); the reference never enables pooling
+(``experiments/nt_kernels.py:75``), so this tier is a framework extension
+required by the north-star benchmark (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["FullKernelState", "full_input_state", "ConvF", "ActF", "AvgPoolF",
+           "GlobalAvgPoolF", "FlattenF", "DenseF", "serial_f",
+           "full_kernel_fn", "get_myrtle_kernel"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FullKernelState:
+    nngp: jax.Array            # [N1, N2, H, W, H, W] or [N1, N2] after readout
+    cov1: jax.Array            # [N1, H, W, H, W] or [N1]
+    cov2: jax.Array            # [N2, H, W, H, W] or [N2]
+    ntk: Optional[jax.Array] = None
+
+    @property
+    def spatial(self) -> bool:
+        return self.nngp.ndim == 6
+
+
+def full_input_state(x1: jax.Array, x2: Optional[jax.Array], *, ntk: bool = False) -> FullKernelState:
+    if x2 is None:
+        x2 = x1
+    nngp = jnp.einsum("iabc,jdec->ijabde", x1, x2) / x1.shape[-1]
+    cov1 = jnp.einsum("iabc,idec->iabde", x1, x1) / x1.shape[-1]
+    cov2 = jnp.einsum("iabc,idec->iabde", x2, x2) / x2.shape[-1]
+    return FullKernelState(nngp, cov1, cov2,
+                           jnp.zeros_like(nngp) if ntk else None)
+
+
+def _same_pads(size: int, filt: int, stride: int) -> Tuple[int, int, int]:
+    """lax SAME padding: (pad_low, pad_high, out_size)."""
+    out = -(-size // stride)
+    pad = max((out - 1) * stride + filt - size, 0)
+    return pad // 2, pad - pad // 2, out
+
+
+def _conv_pair(k: jax.Array, filter_shape, strides) -> jax.Array:
+    """Same-offset stencil mean over the last two spatial *pairs*.
+
+    k: [..., H, W, H, W]; output [..., H', W', H', W'].
+    """
+    fh, fw = filter_shape
+    sh, sw = strides
+    h, w = k.shape[-4], k.shape[-3]
+    plh, phh, oh = _same_pads(h, fh, sh)
+    plw, phw, ow = _same_pads(w, fw, sw)
+    pads = [(0, 0)] * (k.ndim - 4) + [(plh, phh), (plw, phw)] * 2
+    kp = jnp.pad(k, pads)
+    acc = None
+    for dh in range(fh):
+        for dw in range(fw):
+            sl = kp[..., dh:dh + sh * (oh - 1) + 1:sh,
+                    dw:dw + sw * (ow - 1) + 1:sw,
+                    dh:dh + sh * (oh - 1) + 1:sh,
+                    dw:dw + sw * (ow - 1) + 1:sw]
+            acc = sl if acc is None else acc + sl
+    return acc / (fh * fw)
+
+
+def ConvF(filter_shape=(3, 3), strides=(1, 1), w_std=1.0, b_std=0.0):
+    w2, b2 = w_std * w_std, b_std * b_std
+
+    def kfn(k: FullKernelState) -> FullKernelState:
+        nngp = w2 * _conv_pair(k.nngp, filter_shape, strides) + b2
+        cov1 = w2 * _conv_pair(k.cov1, filter_shape, strides) + b2
+        cov2 = w2 * _conv_pair(k.cov2, filter_shape, strides) + b2
+        ntk = (None if k.ntk is None
+               else nngp + w2 * _conv_pair(k.ntk, filter_shape, strides))
+        return FullKernelState(nngp, cov1, cov2, ntk)
+
+    return kfn
+
+
+def _diag_var(cov: jax.Array) -> jax.Array:
+    """[N, H, W, H, W] -> [N, H, W] spatial-diagonal variance."""
+    return jnp.einsum("nijij->nij", cov)
+
+
+def ActF(act: str):
+    from snngp.nn.layers import _relu_t, _relu_tdot, _erf_t, _erf_tdot
+    t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
+    td_fn = {"relu": _relu_tdot, "erf": _erf_tdot}[act]
+
+    def kfn(k: FullKernelState) -> FullKernelState:
+        v1 = _diag_var(k.cov1)   # [N1, H, W]
+        v2 = _diag_var(k.cov2)
+        b1 = v1[:, None, :, :, None, None]
+        b2 = v2[None, :, None, None, :, :]
+        nngp = t_fn(k.nngp, b1, b2)
+        ntk = None if k.ntk is None else k.ntk * td_fn(k.nngp, b1, b2)
+        s1a = v1[:, :, :, None, None]
+        s1b = v1[:, None, None, :, :]
+        cov1 = t_fn(k.cov1, s1a, s1b)
+        s2a = v2[:, :, :, None, None]
+        s2b = v2[:, None, None, :, :]
+        cov2 = t_fn(k.cov2, s2a, s2b)
+        return FullKernelState(nngp, cov1, cov2, ntk)
+
+    return kfn
+
+
+def _pool_axis_pair(k: jax.Array, window: int, offset: int) -> jax.Array:
+    """Non-overlapping window mean over spatial axes (offset, offset+1)."""
+    shape = k.shape
+    h, w = shape[offset], shape[offset + 1]
+    assert h % window == 0 and w % window == 0, "AvgPool requires divisibility"
+    new = shape[:offset] + (h // window, window, w // window, window) + shape[offset + 2:]
+    return k.reshape(new).mean(axis=(offset + 1, offset + 3))
+
+
+def AvgPoolF(window=(2, 2), strides=None):
+    """Non-overlapping average pooling (window == strides, the Myrtle case)."""
+    if strides is not None and tuple(strides) != tuple(window):
+        raise NotImplementedError("only window == strides pooling")
+    win = window[0]
+    if window[0] != window[1]:
+        raise NotImplementedError("square windows only")
+
+    def pool_pairs(k, first_spatial_axis):
+        k = _pool_axis_pair(k, win, first_spatial_axis)
+        k = _pool_axis_pair(k, win, first_spatial_axis + 2)
+        return k
+
+    def kfn(k: FullKernelState) -> FullKernelState:
+        nngp = pool_pairs(k.nngp, 2)
+        cov1 = pool_pairs(k.cov1, 1)
+        cov2 = pool_pairs(k.cov2, 1)
+        ntk = None if k.ntk is None else pool_pairs(k.ntk, 2)
+        return FullKernelState(nngp, cov1, cov2, ntk)
+
+    return kfn
+
+
+def GlobalAvgPoolF():
+    def kfn(k: FullKernelState) -> FullKernelState:
+        nngp = jnp.mean(k.nngp, axis=(2, 3, 4, 5))
+        cov1 = jnp.mean(k.cov1, axis=(1, 2, 3, 4))
+        cov2 = jnp.mean(k.cov2, axis=(1, 2, 3, 4))
+        ntk = None if k.ntk is None else jnp.mean(k.ntk, axis=(2, 3, 4, 5))
+        return FullKernelState(nngp, cov1, cov2, ntk)
+
+    return kfn
+
+
+def FlattenF():
+    """Diagonal-pixel mean: consistent with the cheap tier's Flatten."""
+
+    def kfn(k: FullKernelState) -> FullKernelState:
+        nngp = jnp.mean(jnp.einsum("mnijij->mnij", k.nngp), axis=(2, 3))
+        cov1 = jnp.mean(_diag_var(k.cov1), axis=(1, 2))
+        cov2 = jnp.mean(_diag_var(k.cov2), axis=(1, 2))
+        ntk = (None if k.ntk is None
+               else jnp.mean(jnp.einsum("mnijij->mnij", k.ntk), axis=(2, 3)))
+        return FullKernelState(nngp, cov1, cov2, ntk)
+
+    return kfn
+
+
+def DenseF(w_std=1.0, b_std=0.0):
+    w2, b2 = w_std * w_std, b_std * b_std
+
+    def kfn(k: FullKernelState) -> FullKernelState:
+        nngp = w2 * k.nngp + b2
+        ntk = None if k.ntk is None else nngp + w2 * k.ntk
+        return FullKernelState(nngp, w2 * k.cov1 + b2, w2 * k.cov2 + b2, ntk)
+
+    return kfn
+
+
+def serial_f(*kfns):
+    def kfn(k):
+        for f in kfns:
+            k = f(k)
+        return k
+
+    return kfn
+
+
+def full_kernel_fn(composed):
+    def kernel_fn(x1, x2=None, get="nngp"):
+        want = (get,) if isinstance(get, str) else tuple(get)
+        state = composed(full_input_state(x1, x2, ntk="ntk" in want))
+        outs = []
+        for g in want:
+            outs.append(state.nngp if g == "nngp" else state.ntk)
+        return outs[0] if isinstance(get, str) else tuple(outs)
+
+    return kernel_fn
+
+
+def get_myrtle_kernel(depth: int = 5, num_class: int = 1, act: str = "relu",
+                      w_std: float = 1.0, b_std: float = 0.0,
+                      last_w_std: float = 1.0):
+    """Myrtle-family CNN kernel (Shankar et al. 2020): conv/relu stacks with
+    2x2 average pools, global average pool readout.
+
+    depth in {5, 7, 10} selects the Myrtle-5/7/10 conv counts (1/2/3 convs
+    per pooling group).
+    """
+    per_group = {5: (1, 1, 1), 7: (2, 2, 1), 10: (3, 3, 2)}[depth]
+    conv = lambda: ConvF((3, 3), (1, 1), w_std, b_std)
+    relu = lambda: ActF(act)
+
+    stack = [conv(), relu()]
+    for g, reps in enumerate(per_group):
+        for _ in range(reps - 1 if g == 0 else reps):
+            stack += [conv(), relu()]
+        stack += [AvgPoolF((2, 2))]
+    stack += [GlobalAvgPoolF(), DenseF(last_w_std)]
+    return full_kernel_fn(serial_f(*stack))

@@ -136,14 +136,15 @@ def gp_predict(
     return mean, cov
 
 
-def mvn_logpdf(y: jax.Array, cov: jax.Array) -> jax.Array:
+def mvn_logpdf(y: jax.Array, cov: jax.Array, chol_fn=None) -> jax.Array:
     """Zero-mean multivariate normal log-density via one Cholesky.
 
     Fused replacement for ``jax.scipy.stats.multivariate_normal.logpdf``
     (``spax/likelihoods.py:25-28``): logdet from the factor diagonal and the
-    quadratic form from one triangular solve.
+    quadratic form from one triangular solve. ``chol_fn`` swaps in a
+    distributed factorization (snngp.parallel.cholesky) on a mesh.
     """
     n = y.shape[-1]
-    chol = jnp.linalg.cholesky(cov)
+    chol = (chol_fn or jnp.linalg.cholesky)(cov)
     quad = chol_quad_form(chol, y)
     return -0.5 * (quad + chol_logdet(chol) + n * jnp.log(2.0 * jnp.pi))

@@ -67,7 +67,8 @@ def multivariate_t(
     return mean + jnp.einsum("...ij,...j->...i", factor, t_samples)
 
 
-def multivariate_t_logpdf(x: jax.Array, loc, shape_mat: jax.Array, df) -> jax.Array:
+def multivariate_t_logpdf(x: jax.Array, loc, shape_mat: jax.Array, df,
+                          chol_fn=None) -> jax.Array:
     """Multivariate Student-t log-density (``spax/utils.py:160-183``).
 
     log p(x) = -((df+n)/2) log(1 + (1/df) y^T y) - (n/2) log(df pi)
@@ -76,7 +77,7 @@ def multivariate_t_logpdf(x: jax.Array, loc, shape_mat: jax.Array, df) -> jax.Ar
     """
     n = x.shape[-1]
     half = 0.5 * (df + n)
-    chol = jnp.linalg.cholesky(shape_mat)
+    chol = (chol_fn or jnp.linalg.cholesky)(shape_mat)
     diff = x - loc
     # Solve L y = diff along the last axis (batched over any leading dims).
     y = lax.linalg.triangular_solve(chol, diff, lower=True, transpose_a=True)

@@ -31,6 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["mlp_gram", "mlp_var_stack"]
 
+# Flip to True (tests) to run the kernel through the Pallas interpreter on CPU.
+INTERPRET = False
+
 
 def _acos(c):
     """arccos on [-1, 1] built from sqrt/fma/select only.
@@ -140,6 +143,7 @@ def _mlp_gram_pallas(x1, x2, v1s, v2s, scales, *, depth, act, tile):
             bytes_accessed=(n1 * d + n2 * d + n1 * n2) * 4,
             transcendentals=2 * depth * n1 * n2,
         ),
+        interpret=INTERPRET,
     )(scales, x1, x2, v1s, v2s)
 
 

@@ -27,12 +27,17 @@ __all__ = ["blocked_cholesky", "distributed_cholesky"]
 def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
     """Lower Cholesky factor of PSD ``a`` via right-looking block panels.
 
-    Requires ``a.shape[-1] % block == 0`` (pad with identity upstream if
-    needed). Equivalent to ``jnp.linalg.cholesky`` up to float error.
+    Non-multiple sizes are identity-padded ([[A, 0], [0, I]] factors to
+    [[L, 0], [0, I]]) and sliced back. Equivalent to ``jnp.linalg.cholesky``
+    up to float error.
     """
+    n0 = a.shape[-1]
+    block = min(block, n0)
+    pad = (-n0) % block
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n0, n0 + pad), jnp.arange(n0, n0 + pad)].set(1.0)
     n = a.shape[-1]
-    if n % block != 0:
-        raise ValueError(f"n={n} must be a multiple of block={block}")
     nb = n // block
     rows = jnp.arange(n)[:, None]
 
@@ -55,7 +60,7 @@ def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
         return work, out
 
     _, out = lax.fori_loop(0, nb, body, (a, jnp.zeros_like(a)))
-    return out
+    return out[:n0, :n0]
 
 
 def distributed_cholesky(a: jax.Array, mesh: Optional[Mesh] = None,

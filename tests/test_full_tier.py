@@ -1,0 +1,95 @@
+"""Full spatial-covariance tier tests: agreement with the matched-pixel tier
+on Flatten readouts, and finite-width MC validation of pooled readouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snngp.nn import arch, layers as L
+from snngp.nn import full as F
+
+
+def test_full_tier_matches_diag_tier_on_flatten_cnn():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 6, 6, 2))
+    w, b, l = 1.1, 0.3, 0.9
+    diag_kfn = arch.get_cnn_kernel(2, 1, "relu", w_std=w, b_std=b, last_w_std=l)
+    K_diag = diag_kfn(x, x, get="nngp")
+
+    full = F.serial_f(
+        F.ConvF((3, 3), (1, 1), w, b), F.ActF("relu"),
+        F.ConvF((3, 3), (1, 1), w, b), F.ActF("relu"),
+        F.FlattenF(), F.DenseF(l),
+    )
+    K_full = F.full_kernel_fn(full)(x, x, get="nngp")
+    np.testing.assert_allclose(np.asarray(K_full), np.asarray(K_diag),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_full_tier_strided_conv_matches_diag_tier():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 1))
+    w, b = 1.0, 0.2
+    diag = L.serial(L.Conv(1, (3, 3), (2, 2), "SAME", w_std=w, b_std=b),
+                    L.Relu(), L.Flatten(), L.Dense(1, w_std=1.0))
+    K_diag = L.kernel_fn_of(diag)(x, None, get="nngp")
+    full = F.serial_f(F.ConvF((3, 3), (2, 2), w, b), F.ActF("relu"),
+                      F.FlattenF(), F.DenseF(1.0))
+    K_full = F.full_kernel_fn(full)(x, x, get="nngp")
+    np.testing.assert_allclose(np.asarray(K_full), np.asarray(K_diag),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pooled_kernel_matches_finite_width_mc():
+    """GAP readout needs cross-pixel covariance — the full tier's reason to
+    exist. Validate against a finite-width MC ensemble."""
+    x = jax.random.normal(jax.random.PRNGKey(2), (3, 4, 4, 2))
+    w, b = 1.2, 0.2
+
+    full = F.serial_f(F.ConvF((3, 3), (1, 1), w, b), F.ActF("relu"),
+                      F.GlobalAvgPoolF(), F.DenseF(1.0))
+    K = F.full_kernel_fn(full)(x, x, get="nngp")
+
+    conv = L.Conv(384, (3, 3), (1, 1), "SAME", w_std=w, b_std=b)
+    relu = L.Relu()
+
+    def sample(key):
+        _, p = conv.init(key, x.shape)
+        z = relu.apply((), conv.apply(p, x))
+        return jnp.mean(z, axis=(1, 2))  # GAP -> [N, C]
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 600)
+    outs = jax.lax.map(sample, keys, batch_size=60)  # [S, N, C]
+    K_mc = jnp.einsum("snc,smc->nm", outs, outs) / (outs.shape[0] * outs.shape[-1])
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.05)
+
+
+def test_avg_pool_f_matches_finite_width_mc():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 1))
+    w = 1.0
+
+    full = F.serial_f(F.ConvF((3, 3), (1, 1), w, 0.0), F.ActF("erf"),
+                      F.AvgPoolF((2, 2)), F.FlattenF(), F.DenseF(1.0))
+    K = F.full_kernel_fn(full)(x, x, get="nngp")
+
+    conv = L.Conv(384, (3, 3), (1, 1), "SAME", w_std=w, b_std=0.0)
+
+    def sample(key):
+        _, p = conv.init(key, x.shape)
+        z = jax.scipy.special.erf(conv.apply(p, x))
+        z = z.reshape(2, 2, 2, 2, 2, -1).mean(axis=(2, 4))  # 2x2 avg pool
+        return z.reshape(2, -1)  # flatten
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 600)
+    outs = jax.lax.map(sample, keys, batch_size=60)
+    # Flatten + Dense normalizes by the full flattened dim (pixels * channels).
+    K_mc = jnp.einsum("snc,smc->nm", outs, outs) / (outs.shape[0] * outs.shape[-1])
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.05)
+
+
+def test_myrtle_kernel_runs_and_is_psd():
+    x = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 8, 3))
+    kfn = F.get_myrtle_kernel(5, 10, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
+    K = kfn(x, x, get="nngp")
+    assert K.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K).T, rtol=1e-5)
+    assert np.linalg.eigvalsh(np.asarray(K)).min() > -1e-5

@@ -1,0 +1,61 @@
+"""Pallas fused-Gram kernel tests (interpreter mode on CPU; the compiled
+path is exercised on real TPU by bench.py and was validated to <1e-6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import snngp.ops.pallas.gram as G
+from snngp.nn import arch
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    G.INTERPRET = True
+    yield
+    G.INTERPRET = False
+
+
+@pytest.mark.parametrize("act", ["relu", "erf"])
+def test_fused_gram_matches_reference_tier(act):
+    x = jax.random.normal(jax.random.PRNGKey(0), (300, 10))
+    K_p = G.mlp_gram(x, x, depth=3, act=act, w_std=1.3, b_std=0.4,
+                     last_w_std=0.9, tile=(128, 128))
+    kfn = arch.get_mlp_kernel(3, 1, act, w_std=1.3, b_std=0.4, last_w_std=0.9)
+    K_r = kfn(x, x, get="nngp")
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(K_r), atol=2e-6)
+
+
+def test_fused_gram_cross_shapes_and_padding():
+    # Non-tile-multiple shapes exercise the row/col/feature padding paths.
+    x1 = jax.random.normal(jax.random.PRNGKey(1), (200, 7))
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (150, 7))
+    K_p = G.mlp_gram(x1, x2, depth=2, act="relu", w_std=1.0, b_std=0.2,
+                     last_w_std=1.1, tile=(128, 128))
+    kfn = arch.get_mlp_kernel(2, 1, "relu", w_std=1.0, b_std=0.2, last_w_std=1.1)
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(kfn(x1, x2, get="nngp")),
+                               atol=2e-6)
+
+
+def test_fused_gram_gradients_match_reference():
+    x = jax.random.normal(jax.random.PRNGKey(3), (140, 6))
+
+    def f_pallas(w, b, l):
+        return jnp.sum(G.mlp_gram(x, x, depth=2, act="relu", w_std=w, b_std=b,
+                                  last_w_std=l, tile=(128, 128)))
+
+    def f_ref(w, b, l):
+        kfn = arch.get_mlp_kernel(2, 1, "relu", w_std=w, b_std=b, last_w_std=l)
+        return jnp.sum(kfn(x, x, get="nngp"))
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(1.2, 0.3, 0.9)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(1.2, 0.3, 0.9)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_polynomial_acos_accuracy():
+    c = jnp.linspace(-1.0, 1.0, 100001)
+    err = jnp.max(jnp.abs(G._acos(c) - jnp.arccos(c)))
+    assert float(err) < 5e-7  # A&S 4.4.46 bound + fp32 rounding

@@ -74,3 +74,38 @@ def test_end_to_end_sharded_solve():
     L1 = jnp.linalg.cholesky(K1)
     nll1 = 0.5 * (chol_quad_form(L1, y) + chol_logdet(L1) + 128 * jnp.log(2 * jnp.pi))
     np.testing.assert_allclose(float(nll), float(nll1), rtol=1e-4)
+
+
+def test_blocked_cholesky_identity_padding():
+    a = _psd(100, seed=5)  # 100 not a multiple of 64
+    got = blocked_cholesky(a, block=64)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(jnp.linalg.cholesky(a)), atol=2e-4)
+
+
+def test_spr_loss_on_mesh_matches_single_device():
+    """SPR with mesh: sharded Gram + blocked Cholesky == monolithic loss."""
+    from snngp.models import SPR, NNGPKernel, StudentTLikelihood
+    rng = np.random.RandomState(11)
+    x = rng.randn(64, 4).astype(np.float32)
+    y = rng.randn(64).astype(np.float32)
+
+    def get_kernel_fn(w, b, l):
+        return arch.get_mlp_kernel(2, act="relu", w_std=w, b_std=b, last_w_std=l)
+
+    def build(mesh):
+        kernel = NNGPKernel(get_kernel_fn, 1.0, 0.5, 1.0)
+        lik = StudentTLikelihood(2.0, 2.0)
+        return SPR(kernel, lik, x, y, jnp.array(0.0), jnp.array(1.0),
+                   eps=1e-3, mesh=mesh, chol_block=16)
+
+    single = build(None)
+    dist = build(get_mesh(8))
+    p = single.init_params()
+    l1 = float(jax.jit(single.loss)(p))
+    l2 = float(jax.jit(dist.loss)(p))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
+    g1 = jax.grad(single.loss)(p)
+    g2 = jax.grad(dist.loss)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-5)
