@@ -122,13 +122,18 @@ def _as_kernel_fn(builder):
     return get_kernel
 
 
-_MIN_FUSED_N = 256
+def _min_fused_n() -> int:
+    """Pallas fused-Gram dispatch threshold: below this the XLA tier wins on
+    compile latency; above it the fused kernel wins on HBM traffic. Override
+    with SNNGP_PALLAS_MIN_N (set huge to disable dispatch)."""
+    import os
+    return int(os.environ.get("SNNGP_PALLAS_MIN_N", "256"))
 
 
 def _use_fused_mlp(x1, x2, get):
     import jax
     return (get == "nngp" and x1.ndim == 2
-            and min(x1.shape[0], x2.shape[0]) >= _MIN_FUSED_N
+            and min(x1.shape[0], x2.shape[0]) >= _min_fused_n()
             and jax.default_backend() == "tpu")
 
 
@@ -149,9 +154,46 @@ def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn
-get_cnn_kernel = _as_kernel_fn(get_cnn_layer)
+def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                   last_w_std=1.0, channels=1):
+    """CNN kernel_fn with TPU auto-dispatch to the fused Pallas conv-Gram
+    kernel (stride-1 SAME 3x3, the reference architecture)."""
+    ref_fn = _as_kernel_fn(get_cnn_layer)(
+        num_hiddens, num_class, act, w_std, b_std, last_w_std, channels=channels)
+
+    def kernel_fn(x1, x2=None, get="nngp"):
+        import jax
+        x2_eff = x1 if x2 is None else x2
+        if (get == "nngp" and x1.ndim == 4
+                and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
+                and jax.default_backend() == "tpu"):
+            from snngp.ops.pallas.conv_gram import cnn_gram
+            return cnn_gram(x1, x2_eff, depth=num_hiddens, act=act,
+                            w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+        return ref_fn(x1, x2, get=get)
+
+    return kernel_fn
+
+
 get_conv_resnet_kernel = _as_kernel_fn(get_conv_resnet_layer)
-get_dense_resnet_kernel = _as_kernel_fn(get_dense_resnet_layer)
+
+
+def get_dense_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
+                            b_std=0.0, last_w_std=1.0, width=512):
+    """Dense-resnet kernel_fn with TPU auto-dispatch to the fused Pallas
+    kernel (resnet mode) for large nngp blocks."""
+    ref_fn = _as_kernel_fn(get_dense_resnet_layer)(
+        num_hiddens, num_class, act, w_std, b_std, last_w_std, width=width)
+
+    def kernel_fn(x1, x2=None, get="nngp"):
+        x2_eff = x1 if x2 is None else x2
+        if _use_fused_mlp(x1, x2_eff, get):
+            from snngp.ops.pallas.gram import resnet_gram
+            return resnet_gram(x1, x2_eff, depth=num_hiddens, act=act,
+                               w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+        return ref_fn(x1, x2, get=get)
+
+    return kernel_fn
 
 KERNELS = {
     "mlp": get_mlp_kernel,

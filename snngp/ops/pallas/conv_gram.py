@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fused CNN-NNGP Gram (matched-pixel tier).
+
+The classification hot loop (SVSP: ``K(x_batch, Z)``, ``K(Z, Z)`` every step,
+``spax/models.py:37-39``) runs a depth-L conv recursion over [N1, N2, H, W]
+states. XLA materializes each layer's state in HBM (conv ops break elementwise
+fusion): ~2 L N^2 HW floats of traffic. This kernel:
+
+- computes the input pixel moment once outside (one [N1, N2, HW] array),
+- runs the entire depth recursion per (T1, T2) tile in VMEM — the 3x3 SAME
+  stencil becomes 9 masked lane-rolls on the flattened HW axis, activations
+  use prefetched per-layer variance maps — and writes only the final
+  [N1, N2] flattened Gram.
+
+Supports the reference CNN architecture (Conv 3x3 SAME stride 1 + act, depth
+L, Flatten + Dense readout; ``experiments/nt_kernels.py:34-45``).
+Differentiable via custom VJP through the reference-tier recursion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snngp.ops.pallas.gram import _ACT_T
+
+__all__ = ["cnn_gram"]
+
+INTERPRET = False
+
+
+def _conv_var_stack(x: jax.Array, depth: int, act: str, w_std, b_std):
+    """Per-layer pre-activation variance maps [depth + 1, N, H, W] via the
+    cheap matched-pixel recursion (runs outside the kernel)."""
+    from snngp.nn.layers import _patch_mean, _relu_t, _erf_t
+    t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
+    w2, b2 = w_std * w_std, b_std * b_std
+    v = jnp.mean(x * x, axis=-1)          # [N, H, W]
+    out = [v]
+    for _ in range(depth):
+        v = w2 * _patch_mean(v, (3, 3), (1, 1)) + b2
+        out.append(v)
+        v = t_fn(v, v, v)                  # post-activation variance
+    return jnp.stack(out)                  # [depth+1, N, H, W] (pre-act)
+
+
+def _kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *, depth: int,
+            act: str, h: int, w: int):
+    w2 = scale_ref[0]
+    b2 = scale_ref[1]
+    last2 = scale_ref[2]
+
+    t_fn = _ACT_T[act]
+    hw = h * w
+    k = k0_ref[:]                          # [T1, T2, HW]
+
+    # Lane-index bookkeeping for the 3x3 SAME stencil on flattened HW.
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw), 2)
+    col = p % w
+    row = p // w
+    col_lo = col >= 1          # col - 1 valid
+    col_hi = col < w - 1       # col + 1 valid
+    row_lo = row >= 1
+    row_hi = row < h - 1
+
+    def stencil(z):
+        # Separable 3x3 mean: column pass then row pass (6 rolls, not 27 —
+        # keeps Mosaic's live-range pressure inside VMEM).
+        zc = (z
+              + jnp.where(col_lo, pltpu.roll(z, shift=1, axis=2), 0.0)
+              + jnp.where(col_hi, pltpu.roll(z, shift=hw - 1, axis=2), 0.0))
+        zr = (zc
+              + jnp.where(row_lo, pltpu.roll(zc, shift=w, axis=2), 0.0)
+              + jnp.where(row_hi, pltpu.roll(zc, shift=hw - w, axis=2), 0.0))
+        return zr / 9.0
+
+    for layer in range(depth):
+        k = w2 * stencil(k) + b2                       # Conv 3x3 SAME
+        v1 = v1_ref[layer + 1, :, :]                   # [T1, HW]
+        v2 = v2_ref[layer + 1, :, :]                   # [T2, HW]
+        k = t_fn(k, v1[:, None, :], v2[None, :, :])    # dual activation
+    # Flatten (spatial mean) + final Dense.
+    out_ref[:] = last2 * jnp.mean(k, axis=2)
+
+
+def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
+    n1, n2, hw = k0.shape
+    rows = v1s.shape[0]
+    t1, t2 = tile
+    grid = (n1 // t1, n2 // t2)
+    kernel = functools.partial(_kernel, depth=depth, act=act, h=h, w=w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t1, t2, hw), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((rows, t1, hw), lambda i, j, *_: (0, i, 0)),
+                pl.BlockSpec((rows, t2, hw), lambda i, j, *_: (0, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((t1, t2), lambda i, j, *_: (i, j)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(9 + 10) * depth * n1 * n2 * hw,
+            bytes_accessed=(n1 * n2 * hw + n1 * n2) * 4,
+            transcendentals=2 * depth * n1 * n2 * hw,
+        ),
+        interpret=INTERPRET,
+    )(scales, k0, v1s, v2s)
+
+
+def _reference_cnn(x1, x2, depth, act, w_std, b_std, last_w_std):
+    from snngp.nn import arch
+    kfn = arch.get_cnn_kernel(depth, 1, act, w_std=w_std, b_std=b_std,
+                              last_w_std=last_w_std)
+    return kfn(x1, x2, get="nngp")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _cnn_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    n1, h, w, c = x1.shape
+    n2 = x2.shape[0]
+    t1, t2 = tile
+    p1 = (-n1) % t1
+    p2 = (-n2) % t2
+    x1p = jnp.pad(x1.astype(jnp.float32), ((0, p1), (0, 0), (0, 0), (0, 0)))
+    x2p = jnp.pad(x2.astype(jnp.float32), ((0, p2), (0, 0), (0, 0), (0, 0)))
+
+    hw = h * w
+    k0 = jnp.einsum("ihwc,jhwc->ijhw", x1p, x2p).reshape(n1 + p1, n2 + p2, hw) / c
+
+    rows = max(8, -(-(depth + 1) // 8) * 8)
+    v1s = _conv_var_stack(x1p, depth, act, w_std, b_std).reshape(depth + 1, n1 + p1, hw)
+    v2s = _conv_var_stack(x2p, depth, act, w_std, b_std).reshape(depth + 1, n2 + p2, hw)
+    v1s = jnp.pad(v1s, ((0, rows - depth - 1), (0, 0), (0, 0)))
+    v2s = jnp.pad(v2s, ((0, rows - depth - 1), (0, 0), (0, 0)))
+
+    scales = jnp.stack([
+        jnp.asarray(w_std, jnp.float32) ** 2,
+        jnp.asarray(b_std, jnp.float32) ** 2,
+        jnp.asarray(last_w_std, jnp.float32) ** 2,
+    ])
+    out = _cnn_gram_pallas(k0, v1s, v2s, scales, depth=depth, act=act,
+                           h=h, w=w, tile=tile)
+    return out[:n1, :n2]
+
+
+def _cnn_gram_fwd(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    out = _cnn_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std)
+    return out, (x1, x2, w_std, b_std, last_w_std)
+
+
+def _cnn_gram_bwd(depth, act, tile, res, g):
+    x1, x2, w_std, b_std, last_w_std = res
+    _, vjp = jax.vjp(
+        lambda a, b, ww, bs, l: _reference_cnn(a, b, depth, act, ww, bs, l),
+        x1, x2, w_std, b_std, last_w_std)
+    return vjp(g)
+
+
+_cnn_gram.defvjp(_cnn_gram_fwd, _cnn_gram_bwd)
+
+
+def cnn_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
+             w_std, b_std, last_w_std,
+             tile: Tuple[int, int] = (32, 128)) -> jax.Array:
+    """Fused CNN-NNGP Gram — drop-in for
+    ``arch.get_cnn_kernel(depth, ...)(x1, x2, get="nngp")`` (stride-1 SAME)."""
+    if act not in _ACT_T:
+        raise KeyError(f"unsupported act '{act}'")
+    return _cnn_gram(depth, act, tuple(tile), x1, x2,
+                     jnp.asarray(w_std, jnp.float32),
+                     jnp.asarray(b_std, jnp.float32),
+                     jnp.asarray(last_w_std, jnp.float32))

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mlp_gram", "mlp_var_stack"]
+__all__ = ["mlp_gram", "resnet_gram", "mlp_var_stack", "resnet_var_stack"]
 
 # Flip to True (tests) to run the kernel through the Pallas interpreter on CPU.
 INTERPRET = False
@@ -97,9 +97,38 @@ def mlp_var_stack(x: jax.Array, depth: int, act: str, w_std, b_std,
     return jnp.stack(out)
 
 
+def resnet_var_stack(x: jax.Array, depth: int, act: str, w_std, b_std,
+                     feature_dim=None) -> jax.Array:
+    """Pre-activation variances for the dense-resnet recursion: row l is the
+    variance entering block l's activation (l < depth) / the final activation
+    (l == depth)."""
+    w2 = w_std * w_std
+    b2 = b_std * b_std
+    v = jnp.sum(x * x, axis=-1) / (feature_dim or x.shape[-1])
+    v = w2 * v + b2                       # initial Dense
+    out = [v]
+    for _ in range(depth):
+        if act == "relu":
+            tv = v / 2.0
+        else:
+            tv = (2.0 / jnp.pi) * jnp.arcsin(jnp.clip(2.0 * v / (1.0 + 2.0 * v),
+                                                      -1.0, 1.0))
+        v = v + w2 * tv + b2              # residual block
+        out.append(v)
+    return jnp.stack(out)
+
+
 def _gram_kernel(scale_ref, x1_ref, x2_ref, v1_ref, v2_ref, out_ref, *,
-                 depth: int, act: str):
-    """One (TM, TN) output tile: MXU input moment + fused depth recursion."""
+                 depth: int, act: str, mode: str):
+    """One (TM, TN) output tile: MXU input moment + fused depth recursion.
+
+    mode="mlp":    k <- T(w^2 k + b^2) per layer, final k <- last^2 k
+                   (nt_kernels.py:21-31).
+    mode="resnet": k <- w^2 k0 + b^2 once, then k <- k + w^2 T(k) + b^2 per
+                   residual block, final k <- last^2 T(k)
+                   (nt_kernels.py:83-103: Dense -> [FanOut(act->Dense), Id,
+                   FanInSum] x depth -> act -> Dense).
+    """
     w2 = scale_ref[0]
     b2 = scale_ref[1]
     last2 = scale_ref[2]
@@ -108,21 +137,32 @@ def _gram_kernel(scale_ref, x1_ref, x2_ref, v1_ref, v2_ref, out_ref, *,
     t_fn = _ACT_T[act]
     k = jnp.dot(x1_ref[:], x2_ref[:].T, preferred_element_type=jnp.float32) * inv_d
 
-    for layer in range(depth):
-        k = w2 * k + b2                                   # Dense(width)
-        v1 = v1_ref[layer + 1, :]
-        v2 = v2_ref[layer + 1, :]
-        k = t_fn(k, v1[:, None], v2[None, :])             # dual activation
-    out_ref[:] = last2 * k                                # final Dense
+    if mode == "mlp":
+        for layer in range(depth):
+            k = w2 * k + b2                               # Dense(width)
+            v1 = v1_ref[layer + 1, :]
+            v2 = v2_ref[layer + 1, :]
+            k = t_fn(k, v1[:, None], v2[None, :])         # dual activation
+        out_ref[:] = last2 * k                            # final Dense
+    else:
+        k = w2 * k + b2                                   # initial Dense
+        for layer in range(depth):
+            v1 = v1_ref[layer, :]
+            v2 = v2_ref[layer, :]
+            k = k + w2 * t_fn(k, v1[:, None], v2[None, :]) + b2   # res block
+        v1 = v1_ref[depth, :]
+        v2 = v2_ref[depth, :]
+        out_ref[:] = last2 * t_fn(k, v1[:, None], v2[None, :])    # act+Dense
 
 
-def _mlp_gram_pallas(x1, x2, v1s, v2s, scales, *, depth, act, tile):
+def _mlp_gram_pallas(x1, x2, v1s, v2s, scales, *, depth, act, tile,
+                     mode="mlp"):
     n1, d = x1.shape
     n2 = x2.shape[0]
     v1s_rows = v1s.shape[0]
     tm, tn = tile
     grid = (n1 // tm, n2 // tn)
-    kernel = functools.partial(_gram_kernel, depth=depth, act=act)
+    kernel = functools.partial(_gram_kernel, depth=depth, act=act, mode=mode)
 
     return pl.pallas_call(
         kernel,
@@ -147,16 +187,19 @@ def _mlp_gram_pallas(x1, x2, v1s, v2s, scales, *, depth, act, tile):
     )(scales, x1, x2, v1s, v2s)
 
 
-def _reference_recursion(x1, x2, depth, act, w_std, b_std, last_w_std):
+def _reference_recursion(x1, x2, depth, act, w_std, b_std, last_w_std,
+                         mode="mlp"):
     """Plain-jnp recursion with identical math (backward surrogate/goldens)."""
     from snngp.nn import arch
-    kfn = arch.get_mlp_kernel(depth, 1, act, w_std=w_std, b_std=b_std,
-                              last_w_std=last_w_std)
+    builder = (arch.get_dense_resnet_layer if mode == "resnet"
+               else arch.get_mlp_layer)
+    from snngp.nn.layers import kernel_fn_of
+    kfn = kernel_fn_of(builder(depth, 1, act, w_std, b_std, last_w_std))
     return kfn(x1, x2, get="nngp")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mlp_gram(depth, act, tile, mode, x1, x2, w_std, b_std, last_w_std):
     tm, tn = tile
     n1, n2 = x1.shape[0], x2.shape[0]
     # Pad rows/cols to tile multiples and features to the 128 lane width
@@ -170,8 +213,9 @@ def _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
     # Pad the layer axis to the fp32 sublane minimum (8) — sub-minimal blocks
     # mis-tile on TPU.
     rows = max(8, -(-(depth + 1) // 8) * 8)
-    v1s = mlp_var_stack(x1p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
-    v2s = mlp_var_stack(x2p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
+    stack_fn = resnet_var_stack if mode == "resnet" else mlp_var_stack
+    v1s = stack_fn(x1p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
+    v2s = stack_fn(x2p, depth, act, w_std, b_std, feature_dim=x1.shape[-1])
     v1s = jnp.pad(v1s, ((0, rows - depth - 1), (0, 0)))
     v2s = jnp.pad(v2s, ((0, rows - depth - 1), (0, 0)))
 
@@ -182,19 +226,20 @@ def _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
         jnp.asarray(1.0 / x1.shape[-1], jnp.float32),
     ])
     out = _mlp_gram_pallas(x1p, x2p, v1s, v2s, scales, depth=depth, act=act,
-                           tile=tile)
+                           tile=tile, mode=mode)
     return out[:n1, :n2]
 
 
-def _mlp_gram_fwd(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
-    out = _mlp_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std)
+def _mlp_gram_fwd(depth, act, tile, mode, x1, x2, w_std, b_std, last_w_std):
+    out = _mlp_gram(depth, act, tile, mode, x1, x2, w_std, b_std, last_w_std)
     return out, (x1, x2, w_std, b_std, last_w_std)
 
 
-def _mlp_gram_bwd(depth, act, tile, res, g):
+def _mlp_gram_bwd(depth, act, tile, mode, res, g):
     x1, x2, w_std, b_std, last_w_std = res
     _, vjp = jax.vjp(
-        lambda a, b, w, bs, l: _reference_recursion(a, b, depth, act, w, bs, l),
+        lambda a, b, w, bs, l: _reference_recursion(a, b, depth, act, w, bs, l,
+                                                    mode=mode),
         x1, x2, w_std, b_std, last_w_std)
     return vjp(g)
 
@@ -209,7 +254,20 @@ def mlp_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
     ``arch.get_mlp_kernel(depth, act=act, ...)(x1, x2, get="nngp")``."""
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
-    return _mlp_gram(depth, act, tuple(tile), x1, x2,
+    return _mlp_gram(depth, act, tuple(tile), "mlp", x1, x2,
+                     jnp.asarray(w_std, jnp.float32),
+                     jnp.asarray(b_std, jnp.float32),
+                     jnp.asarray(last_w_std, jnp.float32))
+
+
+def resnet_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
+                w_std, b_std, last_w_std,
+                tile: Tuple[int, int] = (256, 256)) -> jax.Array:
+    """Fused dense-resnet NNGP Gram — drop-in for
+    ``arch.get_dense_resnet_kernel(depth, ...)(x1, x2, get="nngp")``."""
+    if act not in _ACT_T:
+        raise KeyError(f"unsupported act '{act}'")
+    return _mlp_gram(depth, act, tuple(tile), "resnet", x1, x2,
                      jnp.asarray(w_std, jnp.float32),
                      jnp.asarray(b_std, jnp.float32),
                      jnp.asarray(last_w_std, jnp.float32))

@@ -59,3 +59,70 @@ def test_polynomial_acos_accuracy():
     c = jnp.linspace(-1.0, 1.0, 100001)
     err = jnp.max(jnp.abs(G._acos(c) - jnp.arccos(c)))
     assert float(err) < 5e-7  # A&S 4.4.46 bound + fp32 rounding
+
+
+@pytest.mark.parametrize("act", ["relu", "erf"])
+def test_fused_resnet_gram_matches_reference_tier(act):
+    from snngp.nn.layers import kernel_fn_of
+    x = jax.random.normal(jax.random.PRNGKey(4), (260, 9))
+    K_p = G.resnet_gram(x, x, depth=3, act=act, w_std=1.1, b_std=0.2,
+                        last_w_std=0.8, tile=(128, 128))
+    kfn = kernel_fn_of(arch.get_dense_resnet_layer(3, 1, act, 1.1, 0.2, 0.8))
+    np.testing.assert_allclose(np.asarray(K_p), np.asarray(kfn(x, None, get="nngp")),
+                               atol=5e-6)
+
+
+def test_fused_resnet_gram_gradients():
+    x = jax.random.normal(jax.random.PRNGKey(5), (140, 5))
+
+    def f_pallas(w):
+        return jnp.sum(G.resnet_gram(x, x, depth=2, act="relu", w_std=w,
+                                     b_std=0.3, last_w_std=1.0, tile=(128, 128)))
+
+    from snngp.nn.layers import kernel_fn_of
+
+    def f_ref(w):
+        kfn = kernel_fn_of(arch.get_dense_resnet_layer(2, 1, "relu", w, 0.3, 1.0))
+        return jnp.sum(kfn(x, None, get="nngp"))
+
+    np.testing.assert_allclose(float(jax.grad(f_pallas)(1.2)),
+                               float(jax.grad(f_ref)(1.2)), rtol=1e-5)
+
+
+def test_fused_cnn_gram_matches_reference_tier():
+    import snngp.ops.pallas.conv_gram as CG
+    CG.INTERPRET = True
+    try:
+        x1 = jax.random.normal(jax.random.PRNGKey(6), (20, 6, 6, 3))
+        x2 = jax.random.normal(jax.random.PRNGKey(7), (12, 6, 6, 3))
+        for act in ["relu", "erf"]:
+            K_p = CG.cnn_gram(x1, x2, depth=2, act=act, w_std=1.2, b_std=0.3,
+                              last_w_std=0.9, tile=(8, 8))
+            kfn = arch.get_cnn_kernel(2, 1, act, w_std=1.2, b_std=0.3,
+                                      last_w_std=0.9)
+            np.testing.assert_allclose(np.asarray(K_p),
+                                       np.asarray(kfn(x1, x2, get="nngp")),
+                                       atol=2e-6)
+    finally:
+        CG.INTERPRET = False
+
+
+def test_fused_cnn_gram_gradients():
+    import snngp.ops.pallas.conv_gram as CG
+    CG.INTERPRET = True
+    try:
+        x = jax.random.normal(jax.random.PRNGKey(8), (10, 5, 5, 2))
+
+        def f_p(w):
+            return jnp.sum(CG.cnn_gram(x, x, depth=2, act="relu", w_std=w,
+                                       b_std=0.2, last_w_std=1.0, tile=(8, 8)))
+
+        def f_r(w):
+            kfn = arch.get_cnn_kernel(2, 1, "relu", w_std=w, b_std=0.2,
+                                      last_w_std=1.0)
+            return jnp.sum(kfn(x, x, get="nngp"))
+
+        np.testing.assert_allclose(float(jax.grad(f_p)(1.1)),
+                                   float(jax.grad(f_r)(1.1)), rtol=1e-5)
+    finally:
+        CG.INTERPRET = False
