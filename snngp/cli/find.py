@@ -19,6 +19,8 @@ Differences from the reference (numerics preserved):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -64,6 +66,11 @@ def add_subparser(subparsers):
     parser.add_argument("-bsl", "--b-std-list",  type=float, nargs="+", default=BSL)
 
     parser.add_argument("-ns",  "--num-is-samples", type=int, default=1000)
+    parser.add_argument("-smp", "--sampler",     choices=["scipy", "device"],
+                        default="scipy",
+                        help="Burr-XII mixing draws: host scipy (stream-parity "
+                             "with the reference, find.py:172) or on-device "
+                             "inverse-CDF (whole alpha/beta lattice vectorized)")
     parser.add_argument("-s",   "--seed",        type=int, default=10)
     parser.add_argument("-q",   "--quite",       default=False, action="store_true")
     parser.add_argument("-c",   "--comment",     type=str, default="")
@@ -73,6 +80,32 @@ def add_subparser(subparsers):
 def _gaussian_nll(y, mean, cov):
     sigma = jnp.sqrt(jnp.diag(cov))
     return -jnp.mean(stats.norm.logpdf(y, mean, sigma))
+
+
+def _burr12_icdf(u, c, d):
+    """Burr-XII inverse CDF: x = ((1-u)^(-1/d) - 1)^(1/c)."""
+    return ((1.0 - u) ** (-1.0 / d) - 1.0) ** (1.0 / c)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _tnll_lattice_device(key, alphas, betas, num_samples, quad, logdet_term,
+                         num_train, y_, mean_, std_diag, y_std):
+    """Full (alpha, beta) lattice of Student-t predictive NLLs in one jitted
+    computation: device Burr-XII draws + self-normalized importance weights.
+    Replaces the reference's per-cell host loop (find.py:169-191)."""
+    u = jax.random.uniform(key, (num_samples,), minval=1e-7, maxval=1.0 - 1e-7)
+
+    def cell(a, b):
+        q = _burr12_icdf(u, a, b)
+        lp = (logdet_term - 0.5 * quad / q - 0.5 * num_train * jnp.log(q))
+        w = jnp.exp(lp - jnp.max(lp))
+        w_bar = w / jnp.sum(w)
+        std = jnp.sqrt(q)[:, None] * std_diag[None, :]
+        log_probs = jnp.log(w_bar + 1e-24)[:, None] + stats.norm.logpdf(
+            y_, mean_, std * y_std)
+        return -jnp.mean(logsumexp(log_probs, axis=0))
+
+    return jax.vmap(lambda a: jax.vmap(lambda b: cell(a, b))(betas))(alphas)
 
 
 @jax.jit
@@ -148,24 +181,39 @@ def main(args):
                     logdet_term = minus_log_two_pi - 0.5 * chol_logdet(chol)
                     std_diag = jnp.sqrt(jnp.diag(cov))
 
-                    table = []
-                    for a in args.alpha_list:
-                        col = []
-                        for b in args.beta_list:
-                            sample_q = scipy_stats.burr12.rvs(
-                                c=a, d=b, loc=0., scale=1.,
-                                size=args.num_is_samples, random_state=101)
-                            # prior pdf / proposal pdf cancel exactly
-                            # (same Burr-XII; find.py:177-181).
-                            ones = jnp.ones_like(jnp.asarray(sample_q))
-                            tnll = _tnll_lattice(
-                                jnp.asarray(sample_q, jnp.float32), ones,
-                                quad, logdet_term, num_train,
-                                y_, mean_, std_diag, y_std)
-                            if tnll < min_tv:
-                                min_t, min_tv = (w_std, b_std, a, b, eps), float(tnll)
-                            col.append(float(tnll))
-                        table.append(col)
+                    if args.sampler == "device":
+                        tbl = _tnll_lattice_device(
+                            jax.random.PRNGKey(101),
+                            jnp.asarray(args.alpha_list, jnp.float32),
+                            jnp.asarray(args.beta_list, jnp.float32),
+                            args.num_is_samples, quad, logdet_term, num_train,
+                            y_, mean_, std_diag, y_std)
+                        table = [[float(v) for v in row] for row in tbl]
+                        for ai, a in enumerate(args.alpha_list):
+                            for bi, b in enumerate(args.beta_list):
+                                if table[ai][bi] < min_tv:
+                                    min_t = (w_std, b_std, a, b, eps)
+                                    min_tv = table[ai][bi]
+                    else:
+                        table = []
+                        for a in args.alpha_list:
+                            col = []
+                            for b in args.beta_list:
+                                sample_q = scipy_stats.burr12.rvs(
+                                    c=a, d=b, loc=0., scale=1.,
+                                    size=args.num_is_samples, random_state=101)
+                                # prior pdf / proposal pdf cancel exactly
+                                # (same Burr-XII; find.py:177-181).
+                                ones = jnp.ones_like(jnp.asarray(sample_q))
+                                tnll = _tnll_lattice(
+                                    jnp.asarray(sample_q, jnp.float32), ones,
+                                    quad, logdet_term, num_train,
+                                    y_, mean_, std_diag, y_std)
+                                if tnll < min_tv:
+                                    min_t = (w_std, b_std, a, b, eps)
+                                    min_tv = float(tnll)
+                                col.append(float(tnll))
+                            table.append(col)
 
                     logger.log(f"\n{w_std}-{b_std}-{eps}: "
                                f"{i * jl * kl + j * kl + k + 1} / {total} "

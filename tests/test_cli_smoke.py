@@ -79,3 +79,27 @@ def test_ensemble_train_then_test(tmp_path):
     assert saves, "no ensemble member checkpoint"
     _run_cli(["ens", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
               "-nd", "100", "-q"])
+
+
+def test_find_both_samplers(tmp_path):
+    for sampler in ["scipy", "device"]:
+        out = str(tmp_path / sampler)
+        _run_cli([
+            "reg", "fd", "-dn", "syn-normal", "-cd", out, "-nh", "1",
+            "-wsl", "1", "-bsl", "0.3", "-el", "1e-1", "-al", "1", "2",
+            "-bl", "1", "-ns", "200", "-smp", sampler, "-q",
+        ])
+        log = open(os.path.join(out, "train.log")).read()
+        assert "Traceback" not in log
+        assert "(1.0, 0.3" in log  # argmin tuples reported
+
+
+def test_classification_two_lr_split(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svtp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "lr2", "-e", "1", "-nd", "200", "-ni", "12", "-nb", "50",
+        "-ns", "4", "-nvs", "8", "-nh", "1", "-lr2", "1e-3", "-q",
+    ])
+    log = open(os.path.join(ckpt_root, "lr2", "train.log")).read()
+    assert "nELBO" in log and "Traceback" not in log
