@@ -71,6 +71,8 @@ def _add_train_parser(subparsers):
     parser.add_argument("-e",   "--max-epoch",        type=int, default=300)
     parser.add_argument("-r",   "--resize",           type=int, default=1)
 
+    parser.add_argument("-rs",  "--resume",           default=False, action="store_true",
+                        help="resume from <ckpt_dir>/resume.state")
     parser.add_argument("-s",   "--seed",             type=int, default=10)
     parser.add_argument("-q",   "--quite",            default=False, action="store_true")
     parser.add_argument("-c",   "--comment",          type=str, default="")
@@ -196,6 +198,20 @@ def train_main(args):
         scheduler = ReduceLROnPlateau(lr=args.lr, factor=args.lr_decay,
                                       patience=args.lr_patience)
 
+        from snngp.utils import save_training_state, load_training_state
+        resume_path = os.path.join(ckpt_dir, "resume.state")
+        start_epoch = 0
+        if args.resume and os.path.isfile(resume_path):
+            params, opt_states, rmeta = load_training_state(
+                resume_path, params, opt_states)
+            start_epoch = int(rmeta["epoch"])
+            scheduler.lr = float(rmeta["lr"])
+            scheduler.best = float(rmeta["sched_best"])
+            scheduler.num_bad_epochs = int(rmeta["sched_bad"])
+            scheduler.last_epoch = int(rmeta["sched_epoch"])
+            checkpointer.best_loss = float(rmeta["best_loss"])
+            logger.log(f"Resumed from {resume_path} at epoch {start_epoch}")
+
         def train_log(i, nelbo, log=True):
             ws, bs, ls = (float(v) for v in model.kernel.get_params(params["kernel"]))
             eps = float(model.bij(params["eps"]))
@@ -245,8 +261,8 @@ def train_main(args):
         checkpointer.step(0, valid_nll, params)
 
         from tqdm import tqdm, trange
-        for epoch in trange(1, args.max_epoch + 1, desc="Epoch", ncols=0,
-                            disable=args.quite):
+        for epoch in trange(start_epoch + 1, args.max_epoch + 1, desc="Epoch",
+                            ncols=0, disable=args.quite):
             key, split_key = random.split(key)
 
             # train epoch (classification/train.py:91-108)
@@ -279,6 +295,12 @@ def train_main(args):
                 best_print_str = train_log(epoch, train_nelbo, log=False)
                 logger.log(f"[{epoch:3d}]  Updated  NLL: {valid_nll:.5f}  "
                            f"ACC: {valid_acc:.2f}", is_tqdm=True)
+
+            save_training_state(resume_path, params, opt_states, dict(
+                epoch=epoch, lr=scheduler.lr, sched_best=scheduler.best,
+                sched_bad=scheduler.num_bad_epochs,
+                sched_epoch=scheduler.last_epoch,
+                best_loss=checkpointer.best_loss))
 
             reduced = scheduler.step(valid_nll)
             if reduced:

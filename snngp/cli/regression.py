@@ -71,6 +71,9 @@ def _add_train_parser(subparsers):
     parser.add_argument("-lrp", "--lr-patience",    type=int, default=5)
     parser.add_argument("-t",   "--max-steps",      type=int, default=30000)
 
+    parser.add_argument("-rs",  "--resume",         default=False, action="store_true",
+                        help="resume from <ckpt_dir>/resume.state (params, "
+                             "optimizer state, LR schedule, step counter)")
     parser.add_argument("-s",   "--seed",           type=int, default=10)
     parser.add_argument("-pi",  "--print-interval", type=int, default=100)
     parser.add_argument("-vi",  "--valid-interval", type=int, default=500)
@@ -164,6 +167,20 @@ def train_main(args):
         scheduler = ReduceLROnPlateau(lr=args.lr, factor=args.lr_decay,
                                       patience=args.lr_patience)
 
+        from snngp.utils import save_training_state, load_training_state
+        resume_path = os.path.join(ckpt_dir, "resume.state")
+        start_step = 0
+        if args.resume and os.path.isfile(resume_path):
+            params, opt_state, rmeta = load_training_state(
+                resume_path, params, opt_state)
+            start_step = int(rmeta["step"])
+            scheduler.lr = float(rmeta["lr"])
+            scheduler.best = float(rmeta["sched_best"])
+            scheduler.num_bad_epochs = int(rmeta["sched_bad"])
+            scheduler.last_epoch = int(rmeta["sched_epoch"])
+            checkpointer.best_loss = float(rmeta["best_loss"])
+            logger.log(f"Resumed from {resume_path} at step {start_step}")
+
         @jax.jit
         def train_step(params, opt_state, lr):
             loss, grads = jax.value_and_grad(model.loss)(params)
@@ -186,8 +203,8 @@ def train_main(args):
         checkpointer.step(0, float(valid_nll), params)
 
         from tqdm import tqdm
-        for i in tqdm(range(1, args.max_steps + 1), desc="Train", ncols=0,
-                      disable=args.quite):
+        for i in tqdm(range(start_step + 1, args.max_steps + 1), desc="Train",
+                      ncols=0, disable=args.quite):
             params, opt_state, nll = train_step(params, opt_state, scheduler.lr)
 
             if i % args.print_interval == 0:
@@ -209,6 +226,11 @@ def train_main(args):
                 logger.log(f"[{i:5d}] NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}", is_tqdm=True)
                 reduced = scheduler.step(valid_nll)
                 updated = checkpointer.step(i, float(valid_nll), params)
+                save_training_state(resume_path, params, opt_state, dict(
+                    step=i, lr=scheduler.lr, sched_best=scheduler.best,
+                    sched_bad=scheduler.num_bad_epochs,
+                    sched_epoch=scheduler.last_epoch,
+                    best_loss=checkpointer.best_loss))
 
                 if updated:
                     logger.log(f"[{i:5d}] Updated  NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}",

@@ -62,3 +62,50 @@ class Checkpointer:
             self.save(idx, params)
             return True
         return False
+
+
+# ---------------------------------------------------------------------------
+# Full training-state checkpointing (resume support — absent in the
+# reference, which only keeps best-model .npz for later eval; SURVEY.md §5).
+# ---------------------------------------------------------------------------
+
+def save_training_state(path: str, params, opt_state, meta: Dict) -> None:
+    """Write params + optimizer state + loop metadata to one .npz.
+
+    Pytrees are stored in flatten order and restored against live templates
+    (same code version), so no pickling is involved.
+    """
+    import jax
+
+    payload: Dict[str, np.ndarray] = {}
+    p_leaves = jax.tree_util.tree_leaves(params)
+    o_leaves = jax.tree_util.tree_leaves(opt_state)
+    payload["num_params"] = np.array(len(p_leaves))
+    payload["num_opt"] = np.array(len(o_leaves))
+    for i, leaf in enumerate(p_leaves):
+        payload[f"p{i}"] = np.asarray(leaf)
+    for i, leaf in enumerate(o_leaves):
+        payload[f"o{i}"] = np.asarray(leaf)
+    for k, v in meta.items():
+        payload[f"meta_{k}"] = np.asarray(v)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **payload)
+    os.replace(tmp, path)
+
+
+def load_training_state(path: str, params_template, opt_state_template):
+    """Restore (params, opt_state, meta) against live pytree templates."""
+    import jax
+
+    data = np.load(path)
+    p_def = jax.tree_util.tree_structure(params_template)
+    o_def = jax.tree_util.tree_structure(opt_state_template)
+    n_p = int(data["num_params"])
+    n_o = int(data["num_opt"])
+    params = jax.tree_util.tree_unflatten(
+        p_def, [data[f"p{i}"] for i in range(n_p)])
+    opt_state = jax.tree_util.tree_unflatten(
+        o_def, [data[f"o{i}"] for i in range(n_o)])
+    meta = {k[5:]: data[k] for k in data.files if k.startswith("meta_")}
+    return params, opt_state, meta

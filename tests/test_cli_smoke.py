@@ -103,3 +103,33 @@ def test_classification_two_lr_split(tmp_path):
     ])
     log = open(os.path.join(ckpt_root, "lr2", "train.log")).read()
     assert "nELBO" in log and "Traceback" not in log
+
+
+def test_regression_resume(tmp_path):
+    """Interrupt-and-resume: second run continues from the saved step with
+    optimizer + LR-schedule state (no reference equivalent; SURVEY.md §5)."""
+    ckpt_root = str(tmp_path / "ckpt")
+    common = ["reg", "tr", "-m", "gp", "-dn", "syn-normal", "-cr", ckpt_root,
+              "-cn", "r", "-vi", "5", "-pi", "5", "-nh", "1", "-eps", "1e-2", "-q"]
+    _run_cli(common + ["-t", "10"])
+    log1 = open(os.path.join(ckpt_root, "r", "train.log")).read()
+    assert os.path.isfile(os.path.join(ckpt_root, "r", "resume.state"))
+
+    _run_cli(common + ["-t", "20", "-rs"])
+    log2 = open(os.path.join(ckpt_root, "r", "train.log")).read()
+    assert "Resumed from" in log2 and "at step 10" in log2
+    assert "[   15]" in log2  # continued past the restart point
+    assert "Traceback" not in log2
+
+
+def test_classification_resume(tmp_path):
+    ckpt_root = str(tmp_path / "ckpt")
+    common = ["cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+              "-cn", "r", "-nd", "150", "-ni", "10", "-nb", "50", "-ns", "4",
+              "-nvs", "8", "-nh", "1", "-q"]
+    _run_cli(common + ["-e", "1"])
+    assert os.path.isfile(os.path.join(ckpt_root, "r", "resume.state"))
+    _run_cli(common + ["-e", "2", "-rs"])
+    log = open(os.path.join(ckpt_root, "r", "train.log")).read()
+    assert "Resumed from" in log and "at epoch 1" in log
+    assert "[  2]" in log and "Traceback" not in log
