@@ -1,0 +1,95 @@
+"""Data-layer tests: name grammar, transforms (ood/imbalanced/noisy_label),
+normalization stats, regression split pipeline determinism."""
+
+import numpy as np
+import pytest
+
+from snngp.data import classification as C
+from snngp.data import regression as R
+
+
+def test_parse_dataset_grammar():
+    (base, detail, option), clean = C.parse_dataset("mnist")
+    assert (base, detail, option) == ("mnist", "default", None)
+    (base, detail, option), clean = C.parse_dataset("cifar10/ood/1,2")
+    assert base == "cifar10" and detail == "ood" and option == [1, 2]
+    assert clean == "cifar10/ood/1,2"
+    (_, detail, option), clean = C.parse_dataset("svhn/imbalanced/exp0.7")
+    assert detail == "imbalanced" and option == ("exp", 0.7)
+    (_, detail, option), _ = C.parse_dataset("kmnist/noisy_label/0.25")
+    assert option == 0.25
+    with pytest.raises(ValueError):
+        C.parse_dataset("nope/default")
+
+
+def test_ood_transform_drops_classes():
+    (x, y), (xv, yv), (nc, name, msg) = C.get_train_dataset(
+        "synthetic/ood/1,2", num_data=400, valid_prop=0.1, normalize=False)
+    assert 1 not in y and 2 not in y
+    assert 1 not in yv and 2 not in yv
+
+
+def test_noisy_label_transform_is_seeded():
+    a = C.get_train_dataset("synthetic/noisy_label/0.3", num_data=300,
+                            valid_prop=0.1, normalize=False, seed=3)
+    b = C.get_train_dataset("synthetic/noisy_label/0.3", num_data=300,
+                            valid_prop=0.1, normalize=False, seed=3)
+    np.testing.assert_array_equal(a[0][1], b[0][1])
+    assert "noisy labels" in a[2][2]
+
+
+def test_imbalanced_transform_counts():
+    (x, y), (xv, yv), (nc, name, msg) = C.get_train_dataset(
+        "synthetic/imbalanced/exp0.5", valid_prop=0.1, normalize=False)
+    counts = np.bincount(y, minlength=nc)
+    # exp profile: later classes get more data (factor 0.5).
+    assert counts[-1] > counts[0]
+    # validation stays class-balanced.
+    vcounts = np.bincount(yv, minlength=nc)
+    assert vcounts.max() == vcounts.min()
+
+
+def test_normalize_stats():
+    x = np.full((4, 2, 2, 1), 0.75)
+    out = C.normalize_dataset("mnist/default", x)
+    np.testing.assert_allclose(out, (0.75 - 0.5) / 0.5)
+    x3 = np.full((2, 2, 2, 3), 0.5)
+    out3 = C.normalize_dataset("cifar10/default", x3)
+    np.testing.assert_allclose(out3[..., 0], (0.5 - 0.4914) / 0.2023, rtol=1e-6)
+
+
+def test_onehot_and_test_split():
+    (x, y), (nc, name) = C.get_test_dataset("synthetic", num_data=64,
+                                            normalize=True, onehot=True)
+    assert y.shape == (64, nc)
+    np.testing.assert_allclose(y.sum(axis=1), 1.0)
+
+
+def test_regression_synthetic_bit_exact():
+    x1, y1 = R.get_dataset("syn-normal")
+    x2, y2 = R.get_dataset("syn-normal")
+    np.testing.assert_array_equal(y1, y2)
+    assert x1.shape == (100, 1) and y1.shape == (100,)
+    xt, yt = R.get_dataset("syn-t")
+    assert xt.shape == (300, 1)
+
+
+def test_split_dataset_normalization_and_determinism():
+    x = np.arange(100, dtype=np.float64).reshape(50, 2)
+    y = np.arange(50, dtype=np.float64)
+    (xt, yt), (xv, yv), (xs, ys), (y_std, y_mean) = R.split_dataset(
+        x, y, 0.8, 0.1, 0.1)
+    assert xt.shape == (40, 2) and xv.shape == (5, 2) and xs.shape == (5, 2)
+    np.testing.assert_allclose(xt.mean(axis=0), 0.0, atol=1e-12)
+    np.testing.assert_allclose(yt.std(), 1.0, rtol=1e-12)
+    # de-normalization round-trips
+    np.testing.assert_allclose(yt * y_std + y_mean, y[:40])
+
+
+def test_permute_dataset_seeded():
+    x = np.arange(10)[:, None]
+    y = np.arange(10)
+    x1, y1 = R.permute_dataset(x, y, seed=5)
+    x2, y2 = R.permute_dataset(x, y, seed=5)
+    np.testing.assert_array_equal(y1, y2)
+    assert not np.array_equal(y1, y)

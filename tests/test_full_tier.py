@@ -93,3 +93,16 @@ def test_myrtle_kernel_runs_and_is_psd():
     assert K.shape == (4, 4)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K).T, rtol=1e-5)
     assert np.linalg.eigvalsh(np.asarray(K)).min() > -1e-5
+
+
+def test_myrtle_sharded_gram_matches_dense():
+    """Full-tier kernel_fn composes with the row-sharded Gram builder
+    (pure jnp ops shard cleanly under shard_map)."""
+    from snngp.parallel import get_mesh, sharded_gram
+    x = jax.random.normal(jax.random.PRNGKey(7), (16, 8, 8, 3))
+    kfn = F.get_myrtle_kernel(5, 1, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
+    mesh = get_mesh(8)
+    got = sharded_gram(kfn, x, mesh)
+    expect = kfn(x, x, get="nngp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-6)
