@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from snngp.nn import arch
-from snngp.nn.layers import Dense, Relu, serial, kernel_fn_of
+from snngp.nn.layers import Dense, Relu
 from snngp.ops.linalg import add_jitter
 
 N = 10_000

@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from snngp.nn.full import get_myrtle_kernel
-from snngp.ops.linalg import add_jitter, chol_logdet, chol_quad_form
+from snngp.ops.linalg import add_jitter, chol_quad_form
 from snngp.ops.mvt import multivariate_t_logpdf
 from snngp.utils.profiling import Profiler
 

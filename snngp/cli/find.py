@@ -32,7 +32,6 @@ from jax.scipy import stats
 from scipy import stats as scipy_stats
 
 from snngp.data.regression import DATASETS
-from snngp.nn.arch import get_mlp_kernel, get_dense_resnet_kernel
 from snngp.ops import gp_predict
 from snngp.ops.linalg import chol_logdet, chol_quad_form
 from snngp.utils import Logger, get_context_summary

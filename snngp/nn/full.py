@@ -25,7 +25,7 @@ required by the north-star benchmark (BASELINE.md).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -29,8 +29,7 @@ NTK recursion: affine: T' = K' + w^2 T; nonlinearity: T' = T * E[phi'(u)phi'(v)]
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

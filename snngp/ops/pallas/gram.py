@@ -56,18 +56,21 @@ def _asin(c):
     return 0.5 * jnp.pi - _acos(c)
 
 
+_INV_2PI = 0.15915493667125702  # 1/(2 pi), fp32
+
+
 def _relu_t(k, v1, v2):
-    s = jnp.sqrt(jnp.maximum(v1 * v2, 1e-30))
-    c = jnp.clip(k / s, -1.0, 1.0)
+    r = jax.lax.rsqrt(jnp.maximum(v1 * v2, 1e-30))
+    c = jnp.clip(k * r, -1.0, 1.0)
     theta = _acos(c)
     # sin(theta) = sqrt(1 - c^2) exactly on [0, pi] — avoids a sin() lowering.
     sin_t = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
-    return (s * sin_t + (jnp.pi - theta) * k) / (2.0 * jnp.pi)
+    return (sin_t / r + (jnp.pi - theta) * k) * _INV_2PI
 
 
 def _erf_t(k, v1, v2):
-    denom = jnp.sqrt((1.0 + 2.0 * v1) * (1.0 + 2.0 * v2))
-    return (2.0 / jnp.pi) * _asin(jnp.clip(2.0 * k / denom, -1.0, 1.0))
+    r = jax.lax.rsqrt((1.0 + 2.0 * v1) * (1.0 + 2.0 * v2))
+    return (2.0 / jnp.pi) * _asin(jnp.clip(2.0 * k * r, -1.0, 1.0))
 
 
 _ACT_T = {"relu": _relu_t, "erf": _erf_t}

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh
 
-from snngp.parallel.mesh import row_sharding, replicated
+from snngp.parallel.mesh import row_sharding
 
 __all__ = ["blocked_cholesky", "distributed_cholesky"]
 

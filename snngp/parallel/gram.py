@@ -9,12 +9,10 @@ data-pair parallel with zero inter-device traffic until the solve stage.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+from jax.sharding import Mesh, PartitionSpec as Pspec
 from jax import shard_map
 
 __all__ = ["sharded_gram"]

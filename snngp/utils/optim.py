@@ -21,7 +21,7 @@ svtp, ``classification/train.py:216``, and for the two-LR split,
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -133,3 +133,16 @@ def test_classification_resume(tmp_path):
     log = open(os.path.join(ckpt_root, "r", "train.log")).read()
     assert "Resumed from" in log and "at epoch 1" in log
     assert "[  2]" in log and "Traceback" not in log
+
+
+@pytest.mark.slow
+def test_classification_conv_resnet(tmp_path):
+    """WideResNet NNGP classifier path (strided residual conv kernel)."""
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "wrn", "-n", "resnet", "-e", "1", "-nd", "120", "-ni", "10",
+        "-nb", "40", "-ns", "4", "-nvs", "8", "-nh", "1", "-q",
+    ])
+    log = open(os.path.join(ckpt_root, "wrn", "train.log")).read()
+    assert "nELBO" in log and "Traceback" not in log

@@ -150,3 +150,22 @@ def test_input_state_matches_raw_second_moment():
     st = input_state(x, None)
     np.testing.assert_allclose(np.asarray(st.nngp), np.asarray(x @ x.T / 8), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(st.var1), np.diag(np.asarray(st.nngp)), rtol=1e-6)
+
+
+def test_cnn_ntk_matches_finite_width_mc():
+    x = jax.random.normal(jax.random.PRNGKey(11), (3, 4, 4, 1))
+    kfn = arch.get_cnn_kernel(1, 1, "relu", w_std=1.0, b_std=0.3, last_w_std=1.0)
+    theta = kfn(x, x, get="ntk")
+
+    layer = arch.get_cnn_layer(1, 1, "relu", 1.0, 0.3, 1.0, channels=256)
+
+    def empirical_ntk(key):
+        _, params = layer.init(key, x.shape)
+        jac = jax.jacobian(lambda p: layer.apply(p, x)[:, 0])(params)
+        leaves = jax.tree_util.tree_leaves(jac)
+        return sum(jnp.tensordot(l, l, axes=(tuple(range(1, l.ndim)),) * 2)
+                   for l in leaves)
+
+    keys = jax.random.split(jax.random.PRNGKey(12), 30)
+    ntk_mc = jnp.mean(jax.lax.map(empirical_ntk, keys), axis=0)
+    np.testing.assert_allclose(np.asarray(theta), np.asarray(ntk_mc), atol=0.2)
