@@ -161,10 +161,12 @@ def train_main(args):
 
         opt_cls = Adam if args.optimizer == "adam" else SGD
         if args.lr2:
-            # Two optimizers: non-prior params at lr1, prior params at lr2
-            # (classification/train.py:228-242).
-            mask1 = name_mask(params, lambda n: base_pred(n) and "prior" not in n)
-            mask2 = name_mask(params, lambda n: base_pred(n) and "prior" in n)
+            # Two optimizers: non-prior params at lr1, prior params at lr2.
+            # NB: the reference's lr2 split does NOT apply the svtp
+            # last_w_std freeze (classification/train.py:228-229 builds
+            # train_vars1 from all non-prior vars) — quirk preserved.
+            mask1 = name_mask(params, lambda n: "prior" not in n)
+            mask2 = name_mask(params, lambda n: "prior" in n)
             optimizer1, optimizer2 = opt_cls(mask=mask1), opt_cls(mask=mask2)
             opt_state1, opt_state2 = optimizer1.init(params), optimizer2.init(params)
 
@@ -365,7 +367,6 @@ def test_main(args):
     inducing_points = get_by_suffix(named, "inducing_variable")
     q_mu = get_by_suffix(named, "q_mu")
     q_sqrt = get_by_suffix(named, "q_sqrt")
-    eps = get_by_suffix(named, "eps")
 
     method = context["method"]
     network = context["network"]
@@ -393,8 +394,9 @@ def test_main(args):
     params["kernel"]["last_w_std"] = jnp.asarray(last_w_std)
     params["q_mu"] = jnp.asarray(q_mu)
     params["q_sqrt"] = jnp.asarray(q_sqrt)
-    if eps is not None:
-        params["eps"] = jnp.asarray(eps)
+    # NB: eps is deliberately NOT restored — the reference's classification
+    # test evaluates with the constructor default eps=1e-6
+    # (classification/test.py:129-144 restores only a/b/scales/q_mu/q_sqrt).
     if method == "svtp":
         params["prior"]["a"] = jnp.asarray(a)
         params["prior"]["b"] = jnp.asarray(b)

@@ -175,9 +175,20 @@ def main(args):
                     cov_data_eps = cov_data + np.eye(num_train) * eps
                     chol = jnp.linalg.cholesky(cov_data_eps)
                     if bool(jnp.any(jnp.isnan(chol))):
-                        continue
-                    quad = chol_quad_form(chol, y_train)
-                    logdet_term = minus_log_two_pi - 0.5 * chol_logdet(chol)
+                        # PSD-singular in fp32: fall back to the eigh
+                        # pseudo-determinant path (the reference scores these
+                        # cells via scipy allow_singular=True, find.py:158;
+                        # see PARITY.md "known deltas").
+                        evals, evecs = jnp.linalg.eigh(cov_data_eps)
+                        keep = evals > 1e-10 * jnp.max(evals)
+                        safe = jnp.where(keep, evals, 1.0)
+                        z = evecs.T @ y_train
+                        quad = jnp.sum(jnp.where(keep, z * z / safe, 0.0))
+                        logdet = jnp.sum(jnp.where(keep, jnp.log(safe), 0.0))
+                        logdet_term = minus_log_two_pi - 0.5 * logdet
+                    else:
+                        quad = chol_quad_form(chol, y_train)
+                        logdet_term = minus_log_two_pi - 0.5 * chol_logdet(chol)
                     std_diag = jnp.sqrt(jnp.diag(cov))
 
                     if args.sampler == "device":

@@ -77,11 +77,11 @@ class SVSP:
         chol_rel = jnp.linalg.cholesky(add_diag_reg(k_ii, eps))
         v = solve_triangular(chol_rel, k_bi.T, lower=True)   # [I, B]
         b_b = k_bb - v.T @ v                                 # [B, B]
-        return a_b, b_b, chol_rel, k_ii, k_ii_inv, q_mu, q_sqrt
+        return a_b, b_b, chol_rel, k_bi, k_ii, k_ii_inv, q_mu, q_sqrt
 
     def loss(self, params, key, x_batch, y_batch, num_train, num_samples, aux=False):
         """Negative ELBO per data point (spax/models.py:30-56)."""
-        a_b, b_b, _, k_ii, k_ii_inv, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
+        a_b, b_b, _, _, k_ii, k_ii_inv, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
 
         mean = q_mu @ a_b.T                                   # [C, B]
         # A_B diag(q_sqrt) A_B^T + B_B, batched over classes.
@@ -99,14 +99,11 @@ class SVSP:
 
     def test_acc_nll(self, params, key, x_batch, y_batch, num_samples):
         """MC predictive NLL + correct count (spax/models.py:58-78)."""
-        a_b, b_b, chol_rel, _, _, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
-        eps = P.constrained_read(params["eps"], self.bij)
-        z = params["inducing_variable"]
-        kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
+        a_b, b_b, chol_rel, k_bi, _, _, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
 
         # Posterior mean with q_mu as targets through the nt-relative solve
-        # (spax/models.py:71: kernel.predict(Z, q_mu.T, x_batch)).
-        k_bi = self.kernel.K(kernel_fn, x_batch, z)
+        # (spax/models.py:71: kernel.predict(Z, q_mu.T, x_batch)); k_bi is
+        # reused from _posterior_pieces (the docstring's "evaluated once").
         w = solve_triangular(chol_rel, q_mu.T, lower=True)       # [I, C]
         vb = solve_triangular(chol_rel, k_bi.T, lower=True)      # [I, B]
         mean = (vb.T @ w).T                                      # [C, B]

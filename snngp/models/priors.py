@@ -18,7 +18,6 @@ from jax.scipy.special import digamma, gammaln
 from snngp.models import params as P
 from snngp.models.bijectors import positive
 from snngp.ops import multivariate_t
-from snngp.ops.linalg import chol_logdet
 
 __all__ = ["Prior", "GaussianPrior", "InverseGammaPrior"]
 
@@ -39,7 +38,11 @@ def _common_kl_terms(k_ii, k_ii_inv, q_mu, q_sqrt, num_inducing, num_class):
 
 
 def _logdet_psd(mat):
-    return chol_logdet(jnp.linalg.cholesky(mat))
+    # slogdet (LU-based), matching the reference's logdet (spax/utils.py:38-40):
+    # stays finite on numerically non-PSD Grams where a Cholesky would NaN the
+    # whole ELBO.
+    sign, abslogdet = jnp.linalg.slogdet(mat)
+    return sign * abslogdet
 
 
 class Prior:

@@ -164,7 +164,11 @@ def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
     def kernel_fn(x1, x2=None, get="nngp"):
         import jax
         x2_eff = x1 if x2 is None else x2
+        # hw <= 256 bound: Mosaic (current libtpu) fails to compile the
+        # stencil's multiple lane-shifts on larger flattened-spatial operands
+        # (see conv_gram.py docstring); larger images use the XLA tier.
         if (get == "nngp" and x1.ndim == 4
+                and x1.shape[1] * x1.shape[2] <= 256
                 and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
                 and jax.default_backend() == "tpu"):
             from snngp.ops.pallas.conv_gram import cnn_gram

@@ -14,6 +14,15 @@ fusion): ~2 L N^2 HW floats of traffic. This kernel:
 Supports the reference CNN architecture (Conv 3x3 SAME stride 1 + act, depth
 L, Flatten + Dense readout; ``experiments/nt_kernels.py:34-45``).
 Differentiable via custom VJP through the reference-tier recursion.
+
+Known Mosaic limitation (current libtpu): kernels combining >= 3-4 distinct
+lane/sublane shifts (pltpu.roll or concat-slices) on operands with flattened
+spatial extent above ~256 lanes fail AOT compilation (compiler subprocess
+exits 1; bisected empirically — single rolls and the full stencil at
+hw <= 256 compile and validate to 1e-7). The architecture dispatch in
+``snngp.nn.arch.get_cnn_kernel`` therefore engages this kernel only for
+h*w <= 256 (e.g. the downscaled images the reference itself uses,
+``classification/train.py:156-161``); larger images take the XLA tier.
 """
 
 from __future__ import annotations
@@ -56,35 +65,40 @@ def _kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *, depth: int,
 
     t_fn = _ACT_T[act]
     hw = h * w
-    k = k0_ref[:]                          # [T1, T2, HW]
+    hw_pad = k0_ref.shape[-1]              # HW padded to the 128-lane grid
+    k = k0_ref[:]                          # [T1, T2, HW_pad]
 
     # Lane-index bookkeeping for the 3x3 SAME stencil on flattened HW.
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw), 2)
+    # Mosaic rejects rolls on non-128-multiple minor axes, so the wrapper
+    # zero-pads HW; masks keep padded lanes out of every valid output.
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw_pad), 2)
     col = p % w
     row = p // w
-    col_lo = col >= 1          # col - 1 valid
-    col_hi = col < w - 1       # col + 1 valid
-    row_lo = row >= 1
-    row_hi = row < h - 1
+    in_img = p < hw
+    col_lo = (col >= 1) & in_img           # col - 1 valid
+    col_hi = (col < w - 1) & in_img        # col + 1 valid
+    row_lo = (row >= 1) & in_img
+    row_hi = (row < h - 1) & in_img
 
     def stencil(z):
         # Separable 3x3 mean: column pass then row pass (6 rolls, not 27 —
-        # keeps Mosaic's live-range pressure inside VMEM).
+        # keeps Mosaic's live-range pressure inside VMEM). Roll shifts are
+        # modulo hw_pad (the physical axis length).
         zc = (z
               + jnp.where(col_lo, pltpu.roll(z, shift=1, axis=2), 0.0)
-              + jnp.where(col_hi, pltpu.roll(z, shift=hw - 1, axis=2), 0.0))
+              + jnp.where(col_hi, pltpu.roll(z, shift=hw_pad - 1, axis=2), 0.0))
         zr = (zc
               + jnp.where(row_lo, pltpu.roll(zc, shift=w, axis=2), 0.0)
-              + jnp.where(row_hi, pltpu.roll(zc, shift=hw - w, axis=2), 0.0))
+              + jnp.where(row_hi, pltpu.roll(zc, shift=hw_pad - w, axis=2), 0.0))
         return zr / 9.0
 
     for layer in range(depth):
         k = w2 * stencil(k) + b2                       # Conv 3x3 SAME
-        v1 = v1_ref[layer + 1, :, :]                   # [T1, HW]
-        v2 = v2_ref[layer + 1, :, :]                   # [T2, HW]
+        v1 = v1_ref[layer + 1, :, :]                   # [T1, HW_pad]
+        v2 = v2_ref[layer + 1, :, :]                   # [T2, HW_pad]
         k = t_fn(k, v1[:, None, :], v2[None, :, :])    # dual activation
-    # Flatten (spatial mean) + final Dense.
-    out_ref[:] = last2 * jnp.mean(k, axis=2)
+    # Flatten (spatial mean over the true HW lanes) + final Dense.
+    out_ref[:] = (last2 / hw) * jnp.sum(jnp.where(in_img, k, 0.0), axis=2)
 
 
 def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
@@ -116,9 +130,12 @@ def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
 
 
 def _reference_cnn(x1, x2, depth, act, w_std, b_std, last_w_std):
-    from snngp.nn import arch
-    kfn = arch.get_cnn_kernel(depth, 1, act, w_std=w_std, b_std=b_std,
-                              last_w_std=last_w_std)
+    # Build from the layer combinators directly: get_cnn_kernel would
+    # auto-dispatch back into cnn_gram on TPU and the custom VJP would
+    # recurse into itself.
+    from snngp.nn.arch import get_cnn_layer
+    from snngp.nn.layers import kernel_fn_of
+    kfn = kernel_fn_of(get_cnn_layer(depth, 1, act, w_std, b_std, last_w_std))
     return kfn(x1, x2, get="nngp")
 
 
@@ -133,13 +150,16 @@ def _cnn_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
     x2p = jnp.pad(x2.astype(jnp.float32), ((0, p2), (0, 0), (0, 0), (0, 0)))
 
     hw = h * w
+    lane_pad = (-hw) % 128
     k0 = jnp.einsum("ihwc,jhwc->ijhw", x1p, x2p).reshape(n1 + p1, n2 + p2, hw) / c
+    k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, lane_pad)))
 
-    rows = max(8, -(-(depth + 1) // 8) * 8)
+    # NB: the leading (layer) dim of the 3-D variance blocks is a plain batch
+    # dim — only the last two dims are tile-constrained — so no sublane pad.
     v1s = _conv_var_stack(x1p, depth, act, w_std, b_std).reshape(depth + 1, n1 + p1, hw)
     v2s = _conv_var_stack(x2p, depth, act, w_std, b_std).reshape(depth + 1, n2 + p2, hw)
-    v1s = jnp.pad(v1s, ((0, rows - depth - 1), (0, 0), (0, 0)))
-    v2s = jnp.pad(v2s, ((0, rows - depth - 1), (0, 0), (0, 0)))
+    v1s = jnp.pad(v1s, ((0, 0), (0, 0), (0, lane_pad)))
+    v2s = jnp.pad(v2s, ((0, 0), (0, 0), (0, lane_pad)))
 
     scales = jnp.stack([
         jnp.asarray(w_std, jnp.float32) ** 2,
@@ -167,13 +187,29 @@ def _cnn_gram_bwd(depth, act, tile, res, g):
 _cnn_gram.defvjp(_cnn_gram_fwd, _cnn_gram_bwd)
 
 
+def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
+    """Largest (t1, 128) row tile whose double-buffered VMEM working set
+    (k0 [t1,128,hw] + v1 [d+1,t1,hw] + v2 [d+1,128,hw], fp32) fits in ~12 MB."""
+    budget = 12 * 1024 * 1024
+    hw_pad = -(-hw // 128) * 128
+    per_byte = 2 * 4 * hw_pad  # double-buffered fp32
+    t1 = (budget // per_byte - (depth + 1) * 128) // (128 + depth + 1)
+    t1 = t1 // 8 * 8
+    return (max(8, min(256, t1)), 128)
+
+
 def cnn_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
              w_std, b_std, last_w_std,
-             tile: Tuple[int, int] = (32, 128)) -> jax.Array:
+             tile: Tuple[int, int] = None) -> jax.Array:
     """Fused CNN-NNGP Gram — drop-in for
-    ``arch.get_cnn_kernel(depth, ...)(x1, x2, get="nngp")`` (stride-1 SAME)."""
+    ``arch.get_cnn_kernel(depth, ...)(x1, x2, get="nngp")`` (stride-1 SAME).
+
+    Default tiling is sized from the image resolution so the per-program
+    VMEM working set fits (28x28 images -> (8, 128) tiles; 8x8 -> (256, 128))."""
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
+    if tile is None:
+        tile = _auto_tile(x1.shape[1] * x1.shape[2], depth)
     return _cnn_gram(depth, act, tuple(tile), x1, x2,
                      jnp.asarray(w_std, jnp.float32),
                      jnp.asarray(b_std, jnp.float32),

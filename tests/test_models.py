@@ -254,7 +254,7 @@ def test_svsp_posterior_cov_matches_dense():
     rng = np.random.RandomState(9)
     x = rng.randn(5, 4).astype(np.float32)
 
-    a_b, b_b, _, k_ii, k_ii_inv, _, _ = model._posterior_pieces(params, jnp.asarray(x))
+    a_b, b_b, _, _, k_ii, k_ii_inv, _, _ = model._posterior_pieces(params, jnp.asarray(x))
     kfn = arch.get_mlp_kernel(1, 3, "relu", w_std=1.0, b_std=0.3, last_w_std=1.0)
     z = np.asarray(params["inducing_variable"])
     K_bi = np.asarray(kfn(x, z, get="nngp"), np.float64)
