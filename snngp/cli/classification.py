@@ -73,6 +73,11 @@ def _add_train_parser(subparsers):
 
     parser.add_argument("-rs",  "--resume",           default=False, action="store_true",
                         help="resume from <ckpt_dir>/resume.state")
+    parser.add_argument("-sck", "--scan-epoch",       default=False, action="store_true",
+                        help="run each epoch's full-size batches inside one "
+                             "lax.scan roundtrip (amortizes host dispatch; "
+                             "identical math incl. the per-batch PRNG split; "
+                             "within-epoch progress logs are skipped)")
     parser.add_argument("-s",   "--seed",             type=int, default=10)
     parser.add_argument("-q",   "--quite",            default=False, action="store_true")
     parser.add_argument("-c",   "--comment",          type=str, default="")
@@ -178,6 +183,21 @@ def train_main(args):
                 params, opt_state2 = optimizer2.update(grads, opt_state2, params, lr2)
                 return params, opt_state1, opt_state2, loss
 
+            @jax.jit
+            def scan_epoch_step(params, opt_state1, opt_state2, key, xs, ys, lr1, lr2):
+                def body(carry, batch):
+                    p, o1, o2, k = carry
+                    k, bk = random.split(k)
+                    xb, yb = batch
+                    loss, grads = jax.value_and_grad(model.loss)(
+                        p, bk, xb, yb, num_train, args.num_sample)
+                    p, o1 = optimizer1.update(grads, o1, p, lr1)
+                    p, o2 = optimizer2.update(grads, o2, p, lr2)
+                    return (p, o1, o2, k), loss
+                (params, opt_state1, opt_state2, key), losses = jax.lax.scan(
+                    body, (params, opt_state1, opt_state2, key), (xs, ys))
+                return params, opt_state1, opt_state2, key, losses
+
             opt_states = [opt_state1, opt_state2]
         else:
             mask = name_mask(params, base_pred)
@@ -190,6 +210,20 @@ def train_main(args):
                     params, key, x_batch, y_batch, num_train, args.num_sample)
                 params, opt_state = optimizer.update(grads, opt_state, params, lr)
                 return params, opt_state, loss
+
+            @jax.jit
+            def scan_epoch_step(params, opt_state, key, xs, ys, lr):
+                def body(carry, batch):
+                    p, o, k = carry
+                    k, bk = random.split(k)
+                    xb, yb = batch
+                    loss, grads = jax.value_and_grad(model.loss)(
+                        p, bk, xb, yb, num_train, args.num_sample)
+                    p, o = optimizer.update(grads, o, p, lr)
+                    return (p, o, k), loss
+                (params, opt_state, key), losses = jax.lax.scan(
+                    body, (params, opt_state, key), (xs, ys))
+                return params, opt_state, key, losses
 
             opt_states = [opt_state]
 
@@ -270,20 +304,51 @@ def train_main(args):
             # train epoch (classification/train.py:91-108)
             total_nelbo, ekey = 0.0, split_key
             log_interval = max(len(train_loader) // 4, 1)
-            for idx, (x_batch, y_batch) in enumerate(tqdm(
-                    train_loader, desc="Train", leave=False, ncols=0,
-                    total=len(train_loader), disable=args.quite)):
-                ekey, bkey = random.split(ekey)
-                xb, yb = jnp.asarray(x_batch), jnp.asarray(y_batch)
-                if args.lr2:
-                    params, *opt_states, nelbo = train_step(
-                        params, *opt_states, bkey, xb, yb, scheduler.lr, args.lr2)
-                else:
-                    params, opt_states[0], nelbo = train_step(
-                        params, opt_states[0], bkey, xb, yb, scheduler.lr)
-                total_nelbo += float(nelbo) * x_batch.shape[0]
-                if (idx + 1) % log_interval == 0:
-                    train_log(idx + 1, float(nelbo))
+            if args.scan_epoch:
+                # Stack this epoch's full-size batches (same shuffle order)
+                # and run them in one lax.scan; a ragged last batch is
+                # processed with the per-batch step. The per-batch PRNG split
+                # inside scan matches the host loop's split sequence exactly.
+                batches = list(train_loader)
+                full = [(x, y) for x, y in batches if x.shape[0] == args.num_batch]
+                rest = [(x, y) for x, y in batches if x.shape[0] != args.num_batch]
+                if full:
+                    xs = jnp.stack([jnp.asarray(x) for x, _ in full])
+                    ys = jnp.stack([jnp.asarray(y) for _, y in full])
+                    if args.lr2:
+                        params, *opt_states, ekey, losses = scan_epoch_step(
+                            params, *opt_states, ekey, xs, ys,
+                            scheduler.lr, args.lr2)
+                    else:
+                        params, opt_states[0], ekey, losses = scan_epoch_step(
+                            params, opt_states[0], ekey, xs, ys, scheduler.lr)
+                    total_nelbo += float(jnp.sum(losses)) * args.num_batch
+                for x_batch, y_batch in rest:
+                    ekey, bkey = random.split(ekey)
+                    xb, yb = jnp.asarray(x_batch), jnp.asarray(y_batch)
+                    if args.lr2:
+                        params, *opt_states, nelbo = train_step(
+                            params, *opt_states, bkey, xb, yb,
+                            scheduler.lr, args.lr2)
+                    else:
+                        params, opt_states[0], nelbo = train_step(
+                            params, opt_states[0], bkey, xb, yb, scheduler.lr)
+                    total_nelbo += float(nelbo) * x_batch.shape[0]
+            else:
+                for idx, (x_batch, y_batch) in enumerate(tqdm(
+                        train_loader, desc="Train", leave=False, ncols=0,
+                        total=len(train_loader), disable=args.quite)):
+                    ekey, bkey = random.split(ekey)
+                    xb, yb = jnp.asarray(x_batch), jnp.asarray(y_batch)
+                    if args.lr2:
+                        params, *opt_states, nelbo = train_step(
+                            params, *opt_states, bkey, xb, yb, scheduler.lr, args.lr2)
+                    else:
+                        params, opt_states[0], nelbo = train_step(
+                            params, opt_states[0], bkey, xb, yb, scheduler.lr)
+                    total_nelbo += float(nelbo) * x_batch.shape[0]
+                    if (idx + 1) % log_interval == 0:
+                        train_log(idx + 1, float(nelbo))
             train_nelbo = total_nelbo / train_loader.num_data
             logger.log(f"[{epoch:3d}]  nELBO: {train_nelbo:.5f}", is_tqdm=True)
 

@@ -146,3 +146,24 @@ def test_classification_conv_resnet(tmp_path):
     ])
     log = open(os.path.join(ckpt_root, "wrn", "train.log")).read()
     assert "nELBO" in log and "Traceback" not in log
+
+
+def test_classification_scan_epoch_matches_loop(tmp_path):
+    """--scan-epoch runs identical math (incl. PRNG sequence) to the loop."""
+    import numpy as np
+    from snngp.utils import load_named
+
+    outs = {}
+    for tag, extra in [("loop", []), ("scan", ["-sck"])]:
+        ckpt_root = str(tmp_path / tag)
+        _run_cli([
+            "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+            "-cn", "r", "-e", "1", "-nd", "230", "-ni", "10", "-nb", "64",
+            "-ns", "4", "-nvs", "8", "-nh", "1", "-q", *extra,
+        ])
+        outs[tag] = load_named(os.path.join(ckpt_root, "r", "001.npz"))
+    for name in outs["loop"]:
+        # rtol 1e-4: scan vs loop compile to differently-fused XLA programs
+        # (fp reassociation); math is identical.
+        np.testing.assert_allclose(outs["loop"][name], outs["scan"][name],
+                                   rtol=1e-4, atol=1e-6, err_msg=name)

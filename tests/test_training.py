@@ -91,3 +91,44 @@ def test_checkpointer_best_gating(tmp_path):
     assert ck.step(3, 0.25, params)
     files = sorted(os.listdir(tmp_path))
     assert files == ["002.npz", "003.npz"]  # pruned to keep_ckpts
+
+
+def test_scan_chunked_training_matches_looped():
+    """reg tr --scan-chunk runs identical math to the per-step loop."""
+    from snngp.models import SPR, NNGPKernel, GaussianLikelihood
+    from snngp.nn import arch
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(20, 3).astype(np.float32)
+    y = rng.randn(20).astype(np.float32)
+
+    def gkf(w, b, l):
+        return arch.get_mlp_kernel(2, act="relu", w_std=w, b_std=b, last_w_std=l)
+
+    model = SPR(NNGPKernel(gkf, 1.0, 0.5, 1.0), GaussianLikelihood(),
+                x, y, jnp.array(0.0), jnp.array(1.0), eps=1e-2)
+    opt = Adam()
+
+    def looped(params, opt_state, n):
+        for _ in range(n):
+            loss, grads = jax.value_and_grad(model.loss)(params)
+            params, opt_state = opt.update(grads, opt_state, params, 1e-2)
+        return params
+
+    @jax.jit
+    def chunked(params, opt_state, n=10):
+        def body(carry, _):
+            p, o = carry
+            loss, grads = jax.value_and_grad(model.loss)(p)
+            p, o = opt.update(grads, o, p, 1e-2)
+            return (p, o), loss
+        (params, opt_state), _ = jax.lax.scan(body, (params, opt_state),
+                                              None, length=n)
+        return params
+
+    p0 = model.init_params()
+    s0 = opt.init(p0)
+    pl_ = looped(p0, s0, 10)
+    pc = chunked(p0, s0)
+    for a, b in zip(jax.tree_util.tree_leaves(pl_), jax.tree_util.tree_leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
