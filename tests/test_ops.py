@@ -108,3 +108,9 @@ def test_softmax_estimators_against_numpy():
     expect_correct = int(np.sum(np.argmax(agg, axis=0) == labels))
     got_correct = int(ops.get_correct_count(jnp.asarray(f), jnp.asarray(labels)))
     assert got_correct == expect_correct
+
+
+def test_long_name_alias_package():
+    import scale_mixtures_of_neural_network_gaussian_processes_tpu as smx
+    assert hasattr(smx, "nn") and hasattr(smx, "models")
+    assert smx.__version__
