@@ -74,6 +74,9 @@ def _add_train_parser(subparsers):
     parser.add_argument("-rs",  "--resume",         default=False, action="store_true",
                         help="resume from <ckpt_dir>/resume.state (params, "
                              "optimizer state, LR schedule, step counter)")
+    parser.add_argument("-prof", "--profile",       default=False, action="store_true",
+                        help="accumulate per-phase wall-clock (train/valid/"
+                             "test) and log the report at the end")
     parser.add_argument("-sck", "--scan-chunk",     type=int, default=1,
                         help="steps per device roundtrip via lax.scan "
                              "(amortizes host dispatch; must divide print/"
@@ -215,6 +218,9 @@ def train_main(args):
         valid_step = jax.jit(lambda p: model.test_nll(p, x_valid, y_valid))
         test_step = jax.jit(lambda p: model.test_nll(p, x_test, y_test))
 
+        from snngp.utils.profiling import Profiler
+        prof = Profiler() if args.profile else None
+
         np.save(os.path.join(ckpt_dir, "meta.npy"),
                 dict(args={k: v for k, v in vars(args).items() if k != "func"}))
         logger.log(get_context_summary(args, dict(num_train=num_train, num_valid=num_valid)))
@@ -230,7 +236,13 @@ def train_main(args):
         from tqdm import tqdm
         for i in tqdm(range(start_step + chunk, args.max_steps + 1, chunk),
                       desc="Train", ncols=0, disable=args.quite):
-            if chunk > 1:
+            if prof is not None:
+                with prof.phase("train", sync_on=params):
+                    if chunk > 1:
+                        params, opt_state, nll = train_chunk(params, opt_state, scheduler.lr)
+                    else:
+                        params, opt_state, nll = train_step(params, opt_state, scheduler.lr)
+            elif chunk > 1:
                 params, opt_state, nll = train_chunk(params, opt_state, scheduler.lr)
             else:
                 params, opt_state, nll = train_step(params, opt_state, scheduler.lr)
@@ -249,8 +261,14 @@ def train_main(args):
                 logger.log(f"[{i:5d}] {print_str}", is_tqdm=True)
 
             if i % args.valid_interval == 0:
-                valid_nll = valid_step(params)
-                test_nll = test_step(params)
+                if prof is not None:
+                    with prof.phase("valid"):
+                        valid_nll = prof.observe(valid_step(params))
+                    with prof.phase("test"):
+                        test_nll = prof.observe(test_step(params))
+                else:
+                    valid_nll = valid_step(params)
+                    test_nll = test_step(params)
                 logger.log(f"[{i:5d}] NLL: {valid_nll:.5f}  TEST: {test_nll:.5f}", is_tqdm=True)
                 reduced = scheduler.step(valid_nll)
                 updated = checkpointer.step(i, float(valid_nll), params)
@@ -275,6 +293,8 @@ def train_main(args):
                     break
 
         logger.log(f"\n[{best_step:5d}] NLL: {best_nll:.5f}  TEST: {best_test_nll:.5f}  {best_print_str}\n")
+        if prof is not None:
+            logger.log(prof.report())
 
     except KeyboardInterrupt:
         raise

@@ -15,14 +15,14 @@ Supports the reference CNN architecture (Conv 3x3 SAME stride 1 + act, depth
 L, Flatten + Dense readout; ``experiments/nt_kernels.py:34-45``).
 Differentiable via custom VJP through the reference-tier recursion.
 
-Known Mosaic limitation (current libtpu): kernels combining >= 3-4 distinct
-lane/sublane shifts (pltpu.roll or concat-slices) on operands with flattened
-spatial extent above ~256 lanes fail AOT compilation (compiler subprocess
-exits 1; bisected empirically — single rolls and the full stencil at
-hw <= 256 compile and validate to 1e-7). The architecture dispatch in
-``snngp.nn.arch.get_cnn_kernel`` therefore engages this kernel only for
-h*w <= 256 (e.g. the downscaled images the reference itself uses,
-``classification/train.py:156-161``); larger images take the XLA tier.
+VMEM constraint (measured): Mosaic's scoped-vmem stack keeps ~5-7 live copies
+of the k block through the stencil/activation chain (a 5.8 MB block demanded
+40.6 MB scoped against the 16 MB limit), so ``_auto_tile`` caps the block at
+~1.5 MB. With the mandatory 128-lane output tile this is only satisfiable for
+flattened spatial extent h*w <= 256 — the dispatch gate in
+``snngp.nn.arch.get_cnn_kernel`` (matching the downscaled images the
+reference itself uses, ``classification/train.py:156-161``); larger images
+take the XLA tier.
 """
 
 from __future__ import annotations
@@ -188,13 +188,16 @@ _cnn_gram.defvjp(_cnn_gram_fwd, _cnn_gram_bwd)
 
 
 def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
-    """Largest (t1, 128) row tile whose double-buffered VMEM working set
-    (k0 [t1,128,hw] + v1 [d+1,t1,hw] + v2 [d+1,128,hw], fp32) fits in ~12 MB."""
-    budget = 12 * 1024 * 1024
+    """Row tile (t1, 128) sized so the kernel's *scoped* VMEM fits.
+
+    Mosaic's scoped-vmem stack holds ~7 live copies of the k block through the
+    stencil chain (z, two rolled copies, zc, ... — measured from compile-time
+    OOM reports: a 5.8 MB block demanded 40.6 MB scoped against the 16 MB
+    limit), so the k block itself must stay around ~1.5 MB. At the dispatch
+    gate's hw <= 256 this gives t1 in [8, 16]."""
     hw_pad = -(-hw // 128) * 128
-    per_byte = 2 * 4 * hw_pad  # double-buffered fp32
-    t1 = (budget // per_byte - (depth + 1) * 128) // (128 + depth + 1)
-    t1 = t1 // 8 * 8
+    block_budget = int(1.5 * 1024 * 1024)
+    t1 = block_budget // (4 * 128 * hw_pad) // 8 * 8
     return (max(8, min(256, t1)), 128)
 
 

@@ -132,3 +132,17 @@ def test_scan_chunked_training_matches_looped():
     pc = chunked(p0, s0)
     for a, b in zip(jax.tree_util.tree_leaves(pl_), jax.tree_util.tree_leaves(pc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_profiler_phases_and_report():
+    from snngp.utils.profiling import Profiler
+    prof = Profiler()
+    with prof.phase("a"):
+        prof.observe(jnp.ones((4, 4)) * 2)
+    with prof.phase("a"):
+        prof.observe(jnp.zeros(3))
+    with prof.phase("b"):
+        pass
+    rep = prof.report()
+    assert "a" in rep and "b" in rep
+    assert prof.counts["a"] == 2 and prof.totals["a"] > 0
