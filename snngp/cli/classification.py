@@ -158,6 +158,24 @@ def train_main(args):
                             num_class, inducing_points, args.epsilon)
         params = model.init_params()
 
+        # Mesh: GSPMD-partition the ELBO over the minibatch rows (D4). The
+        # math (incl. the correlated [C,B,B] posterior sampling) is identical;
+        # XLA inserts the collectives. Batches must divide the mesh size.
+        batch_sharding = None
+        n_mesh = int(os.environ.get("SNNGP_MESH_DEVICES", "1"))
+        if n_mesh > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from snngp.parallel import get_mesh
+            mesh = get_mesh(n_mesh)
+            batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            logger.log(f"Mesh: {n_mesh} devices (batch-sharded ELBO)")
+
+        def shard_batch(xb, yb):
+            if batch_sharding is not None and xb.shape[0] % n_mesh == 0:
+                return (jax.device_put(xb, batch_sharding),
+                        jax.device_put(yb, batch_sharding))
+            return xb, yb
+
         # Trainable masks: svtp freezes last_w_std (classification/train.py:216).
         if args.method == "svtp":
             base_pred = lambda n: "last_w_std" not in n
@@ -339,7 +357,7 @@ def train_main(args):
                         train_loader, desc="Train", leave=False, ncols=0,
                         total=len(train_loader), disable=args.quite)):
                     ekey, bkey = random.split(ekey)
-                    xb, yb = jnp.asarray(x_batch), jnp.asarray(y_batch)
+                    xb, yb = shard_batch(jnp.asarray(x_batch), jnp.asarray(y_batch))
                     if args.lr2:
                         params, *opt_states, nelbo = train_step(
                             params, *opt_states, bkey, xb, yb, scheduler.lr, args.lr2)

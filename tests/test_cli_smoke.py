@@ -167,3 +167,17 @@ def test_classification_scan_epoch_matches_loop(tmp_path):
         # (fp reassociation); math is identical.
         np.testing.assert_allclose(outs["loop"][name], outs["scan"][name],
                                    rtol=1e-4, atol=1e-6, err_msg=name)
+
+
+def test_classification_mesh_batch_sharding(tmp_path, monkeypatch):
+    """cls train with SNNGP_MESH_DEVICES: batch-sharded ELBO on the CPU mesh."""
+    monkeypatch.setenv("SNNGP_MESH_DEVICES", "8")
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "mesh", "-e", "1", "-nd", "200", "-ni", "10", "-nb", "64",
+        "-ns", "4", "-nvs", "8", "-nh", "1", "-q",
+    ])
+    log = open(os.path.join(ckpt_root, "mesh", "train.log")).read()
+    assert "Mesh: 8 devices" in log
+    assert "nELBO" in log and "Traceback" not in log
