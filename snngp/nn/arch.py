@@ -179,7 +179,28 @@ def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
     return kernel_fn
 
 
-get_conv_resnet_kernel = _as_kernel_fn(get_conv_resnet_layer)
+def get_conv_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
+                           b_std=0.0, last_w_std=1.0, k=1):
+    """Conv-WideResNet kernel_fn with TPU auto-dispatch to the fused Pallas
+    tail-block kernel (stride-1 residual blocks in VMEM; strided group
+    boundaries in XLA) for small-image blocks."""
+    ref_fn = _as_kernel_fn(get_conv_resnet_layer)(
+        num_hiddens, num_class, act, w_std, b_std, last_w_std, k=k)
+
+    def kernel_fn(x1, x2=None, get="nngp"):
+        import jax
+        x2_eff = x1 if x2 is None else x2
+        if (get == "nngp" and x1.ndim == 4
+                and x1.shape[1] * x1.shape[2] <= 256
+                and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
+                and jax.default_backend() == "tpu"):
+            from snngp.ops.pallas.resnet_conv_gram import conv_resnet_gram
+            return conv_resnet_gram(x1, x2_eff, depth=num_hiddens,
+                                    num_class=num_class, act=act, w_std=w_std,
+                                    b_std=b_std, last_w_std=last_w_std)
+        return ref_fn(x1, x2, get=get)
+
+    return kernel_fn
 
 
 def get_dense_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,

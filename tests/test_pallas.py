@@ -126,3 +126,45 @@ def test_fused_cnn_gram_gradients():
                                    float(jax.grad(f_r)(1.1)), rtol=1e-5)
     finally:
         CG.INTERPRET = False
+
+
+def test_fused_conv_resnet_gram_matches_reference_tier():
+    import snngp.ops.pallas.resnet_conv_gram as RG
+    RG.INTERPRET = True
+    try:
+        from snngp.nn.layers import kernel_fn_of
+        x1 = jax.random.normal(jax.random.PRNGKey(9), (6, 8, 8, 3))
+        x2 = jax.random.normal(jax.random.PRNGKey(10), (5, 8, 8, 3))
+        for depth in [1, 3]:
+            K_p = RG.conv_resnet_gram(x1, x2, depth=depth, num_class=3,
+                                      act="relu", w_std=1.1, b_std=0.2,
+                                      last_w_std=0.9)
+            kfn = kernel_fn_of(arch.get_conv_resnet_layer(depth, 3, "relu",
+                                                          1.1, 0.2, 0.9))
+            np.testing.assert_allclose(np.asarray(K_p),
+                                       np.asarray(kfn(x1, x2, get="nngp")),
+                                       atol=3e-6)
+    finally:
+        RG.INTERPRET = False
+
+
+def test_fused_conv_resnet_gram_gradients():
+    import snngp.ops.pallas.resnet_conv_gram as RG
+    RG.INTERPRET = True
+    try:
+        from snngp.nn.layers import kernel_fn_of
+        x = jax.random.normal(jax.random.PRNGKey(11), (5, 8, 8, 2))
+
+        def f_p(w):
+            return jnp.sum(RG.conv_resnet_gram(x, x, depth=2, num_class=1,
+                                               act="relu", w_std=w, b_std=0.2,
+                                               last_w_std=0.9))
+
+        def f_r(w):
+            kfn = kernel_fn_of(arch.get_conv_resnet_layer(2, 1, "relu", w, 0.2, 0.9))
+            return jnp.sum(kfn(x, x, get="nngp"))
+
+        np.testing.assert_allclose(float(jax.grad(f_p)(1.1)),
+                                   float(jax.grad(f_r)(1.1)), rtol=1e-5)
+    finally:
+        RG.INTERPRET = False
