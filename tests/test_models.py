@@ -282,3 +282,49 @@ def test_named_leaves_and_suffix_ops():
     assert P.get_by_suffix(named, "nope") is None
     assert P.assign_by_suffix(params, "w_std", 9.0)
     assert float(params["kernel"]["w_std"]) == 9.0
+
+
+def test_gaussian_kl_matches_monte_carlo():
+    """SURVEY §4: KL formula vs direct MC estimate of E_q[log q - log p]."""
+    rng = np.random.RandomState(21)
+    I, C = 5, 2
+    a = rng.randn(I, I)
+    k_ii = (a @ a.T / I + 0.5 * np.eye(I)).astype(np.float64)
+    q_mu = rng.randn(C, I)
+    q_sqrt = np.abs(rng.randn(C, I)) + 0.5  # q covariance = diag(q_sqrt)
+
+    prior = GaussianPrior()
+    got = float(prior.kl_divergence(
+        {}, jnp.asarray(k_ii, jnp.float32),
+        jnp.asarray(np.linalg.inv(k_ii), jnp.float32),
+        jnp.asarray(q_mu, jnp.float32), jnp.asarray(q_sqrt, jnp.float32), I, C))
+
+    total = 0.0
+    S = 200000
+    for c in range(C):
+        qs = osp.multivariate_normal(q_mu[c], np.diag(q_sqrt[c]))
+        ps = osp.multivariate_normal(np.zeros(I), k_ii)
+        draws = qs.rvs(size=S, random_state=rng)
+        total += np.mean(qs.logpdf(draws) - ps.logpdf(draws))
+    np.testing.assert_allclose(got, total, rtol=2e-2)
+
+
+def test_inverse_gamma_kl_term_matches_quadrature():
+    """The closed-form KL(IG(a,b) || IG(alpha,beta)) term vs scipy quadrature."""
+    from scipy import integrate
+    from scipy.stats import invgamma as ig
+
+    alpha, beta = 2.0, 3.0   # fixed prior
+    a, b = 1.4, 2.2          # variational
+
+    def integrand(x):
+        qx = ig.pdf(x, a, scale=b)
+        return qx * (ig.logpdf(x, a, scale=b) - ig.logpdf(x, alpha, scale=beta))
+
+    expect, err = integrate.quad(integrand, 1e-9, np.inf, limit=200)
+    assert err < 1e-7
+
+    from scipy.special import gammaln, digamma
+    got = (alpha * np.log(b / beta) - gammaln(a) + gammaln(alpha)
+           + (a - alpha) * digamma(a) + (beta - b) * (a / b))
+    np.testing.assert_allclose(got, expect, rtol=1e-6)
