@@ -77,7 +77,14 @@ def main():
     ap.add_argument("--alpha", type=float, default=2.0)
     ap.add_argument("--beta", type=float, default=2.0)
     ap.add_argument("--eps", type=float, default=1e-4)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 full-covariance state (halves tile memory; "
+                         "GAP accumulates fp32)")
     args = ap.parse_args()
+    if args.bf16 and args.eps < 1e-2:
+        # bf16 Gram entries carry ~1e-2 relative noise; the solve needs a
+        # matching regularizer to stay PSD.
+        args.eps = 1e-2
 
     x, y = load_images(args.n_train + args.n_test, args.image_size, seed=0)
     x_train, x_test = x[:args.n_train], x[args.n_train:]
@@ -85,8 +92,10 @@ def main():
     y_std = jnp.std(y[:args.n_train])
     y_train = (y[:args.n_train] - y_mean) / y_std
 
+    import jax.numpy as _jnp
     kfn = get_myrtle_kernel(args.depth, 1, "relu", w_std=1.0, b_std=0.1,
-                            last_w_std=1.0)
+                            last_w_std=1.0,
+                            dtype=_jnp.bfloat16 if args.bf16 else None)
     prof = Profiler()
 
     with prof.phase("gram_train"):
@@ -109,9 +118,10 @@ def main():
         d = df + chol_quad_form(chol, y_train)
         cond_df = df + args.n_train
         t_cov = (d / cond_df) * (args.beta / args.alpha) * cov
+        t_jit = 1e-4 + (1e-2 if args.bf16 else 0.0)
         nll = -jnp.mean(multivariate_t_logpdf(
             (y[args.n_train:] - y_mean) / y_std,
-            mean, add_jitter(t_cov, 1e-4), cond_df))
+            mean, add_jitter(t_cov, t_jit), cond_df))
         nll = prof.observe(nll)
 
     print(prof.report())

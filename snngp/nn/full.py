@@ -48,12 +48,19 @@ class FullKernelState:
         return self.nngp.ndim == 6
 
 
-def full_input_state(x1: jax.Array, x2: Optional[jax.Array], *, ntk: bool = False) -> FullKernelState:
+def full_input_state(x1: jax.Array, x2: Optional[jax.Array], *, ntk: bool = False,
+                     dtype=None) -> FullKernelState:
+    """``dtype=jnp.bfloat16`` halves the (dominant) [N1,N2,H,W,H,W] state
+    memory — an opt-in scale knob for Myrtle-size workloads (moments are
+    contracted in fp32 before the cast)."""
     if x2 is None:
         x2 = x1
     nngp = jnp.einsum("iabc,jdec->ijabde", x1, x2) / x1.shape[-1]
     cov1 = jnp.einsum("iabc,idec->iabde", x1, x1) / x1.shape[-1]
     cov2 = jnp.einsum("iabc,idec->iabde", x2, x2) / x2.shape[-1]
+    if dtype is not None:
+        nngp, cov1, cov2 = (nngp.astype(dtype), cov1.astype(dtype),
+                            cov2.astype(dtype))
     return FullKernelState(nngp, cov1, cov2,
                            jnp.zeros_like(nngp) if ntk else None)
 
@@ -164,10 +171,12 @@ def AvgPoolF(window=(2, 2), strides=None):
 
 def GlobalAvgPoolF():
     def kfn(k: FullKernelState) -> FullKernelState:
-        nngp = jnp.mean(k.nngp, axis=(2, 3, 4, 5))
-        cov1 = jnp.mean(k.cov1, axis=(1, 2, 3, 4))
-        cov2 = jnp.mean(k.cov2, axis=(1, 2, 3, 4))
-        ntk = None if k.ntk is None else jnp.mean(k.ntk, axis=(2, 3, 4, 5))
+        # Accumulate the big spatial reduction in fp32 (bf16 state mode).
+        f32 = lambda a: a.astype(jnp.float32)
+        nngp = jnp.mean(f32(k.nngp), axis=(2, 3, 4, 5))
+        cov1 = jnp.mean(f32(k.cov1), axis=(1, 2, 3, 4))
+        cov2 = jnp.mean(f32(k.cov2), axis=(1, 2, 3, 4))
+        ntk = None if k.ntk is None else jnp.mean(f32(k.ntk), axis=(2, 3, 4, 5))
         return FullKernelState(nngp, cov1, cov2, ntk)
 
     return kfn
@@ -207,10 +216,11 @@ def serial_f(*kfns):
     return kfn
 
 
-def full_kernel_fn(composed):
+def full_kernel_fn(composed, dtype=None):
     def kernel_fn(x1, x2=None, get="nngp"):
         want = (get,) if isinstance(get, str) else tuple(get)
-        state = composed(full_input_state(x1, x2, ntk="ntk" in want))
+        state = composed(full_input_state(x1, x2, ntk="ntk" in want,
+                                          dtype=dtype))
         outs = []
         for g in want:
             outs.append(state.nngp if g == "nngp" else state.ntk)
@@ -221,7 +231,7 @@ def full_kernel_fn(composed):
 
 def get_myrtle_kernel(depth: int = 5, num_class: int = 1, act: str = "relu",
                       w_std: float = 1.0, b_std: float = 0.0,
-                      last_w_std: float = 1.0):
+                      last_w_std: float = 1.0, dtype=None):
     """Myrtle-family CNN kernel (Shankar et al. 2020): conv/relu stacks with
     2x2 average pools, global average pool readout.
 
@@ -238,4 +248,4 @@ def get_myrtle_kernel(depth: int = 5, num_class: int = 1, act: str = "relu",
             stack += [conv(), relu()]
         stack += [AvgPoolF((2, 2))]
     stack += [GlobalAvgPoolF(), DenseF(last_w_std)]
-    return full_kernel_fn(serial_f(*stack))
+    return full_kernel_fn(serial_f(*stack), dtype=dtype)

@@ -106,3 +106,15 @@ def test_myrtle_sharded_gram_matches_dense():
     expect = kfn(x, x, get="nngp")
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_myrtle_bf16_state_close_to_fp32():
+    """bf16 full-covariance state (the Myrtle memory knob) tracks fp32 to
+    bf16 precision; GAP accumulates in fp32."""
+    x = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, 3))
+    k32 = F.get_myrtle_kernel(5, 1, "relu", 1.0, 0.1, 1.0)(x, x, get="nngp")
+    k16 = F.get_myrtle_kernel(5, 1, "relu", 1.0, 0.1, 1.0,
+                              dtype=jnp.bfloat16)(x, x, get="nngp")
+    assert k16.dtype == jnp.float32  # GAP re-promotes
+    np.testing.assert_allclose(np.asarray(k16), np.asarray(k32),
+                               rtol=3e-2, atol=1e-3)
