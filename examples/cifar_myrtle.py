@@ -47,10 +47,21 @@ def load_images(n, image_size, seed):
     return x, jnp.asarray(np.asarray(y[:n], np.float32))
 
 
-def tiled_gram(kernel_fn, x1, x2, tile, symmetric):
-    """Assemble K[x1, x2] from jitted (tile, tile) full-covariance blocks."""
+def tiled_gram(kernel_fn, x1, x2, tile, symmetric, mesh=None):
+    """Assemble K[x1, x2] from jitted (tile, tile) full-covariance blocks.
+
+    With a mesh, each row-tile's [tile, n2] strip is computed with the column
+    batch sharded over devices (snngp.parallel.sharded_gram)."""
     n1, n2 = x1.shape[0], x2.shape[0]
     assert n1 % tile == 0 and n2 % tile == 0
+
+    if mesh is not None:
+        from snngp.parallel import sharded_gram
+        out = np.zeros((n1, n2), np.float32)
+        for i in range(0, n1, tile):
+            out[i:i + tile] = np.asarray(
+                sharded_gram(kernel_fn, x1[i:i + tile], mesh, x2=x2))
+        return jnp.asarray(out)
 
     @jax.jit
     def block(a, b):
@@ -80,6 +91,10 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 full-covariance state (halves tile memory; "
                          "GAP accumulates fp32)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard Gram row panels over an N-device mesh "
+                         "(snngp.parallel.sharded_gram; N must divide the "
+                         "data sizes)")
     args = ap.parse_args()
     if args.bf16 and args.eps < 1e-2:
         # bf16 Gram entries carry ~1e-2 relative noise; the solve needs a
@@ -97,13 +112,20 @@ def main():
                             last_w_std=1.0,
                             dtype=_jnp.bfloat16 if args.bf16 else None)
     prof = Profiler()
+    mesh = None
+    if args.devices > 1:
+        from snngp.parallel import get_mesh
+        mesh = get_mesh(args.devices)
 
     with prof.phase("gram_train"):
-        k_dd = prof.observe(tiled_gram(kfn, x_train, x_train, args.tile, True))
+        k_dd = prof.observe(tiled_gram(kfn, x_train, x_train, args.tile,
+                                       mesh is None, mesh=mesh))
     with prof.phase("gram_cross"):
-        k_td = prof.observe(tiled_gram(kfn, x_test, x_train, args.tile, False))
+        k_td = prof.observe(tiled_gram(kfn, x_test, x_train, args.tile, False,
+                                       mesh=mesh))
     with prof.phase("gram_test"):
-        k_tt = prof.observe(tiled_gram(kfn, x_test, x_test, args.tile, True))
+        k_tt = prof.observe(tiled_gram(kfn, x_test, x_test, args.tile,
+                                       mesh is None, mesh=mesh))
 
     with prof.phase("cholesky"):
         chol = prof.observe(jnp.linalg.cholesky(add_jitter(k_dd, args.eps)))
