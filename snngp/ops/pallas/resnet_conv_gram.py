@@ -42,7 +42,8 @@ INTERPRET = False
 
 
 def _tail_kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *,
-                 nblocks: int, act: str, h: int, w: int):
+                 nblocks: int, act: str, h: int, w: int,
+                 mismatch: bool = False):
     w2 = scale_ref[0]
     b2 = scale_ref[1]
 
@@ -77,16 +78,22 @@ def _tail_kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *,
         v_mid1 = v1_ref[2 * blk + 1, :, :]
         v_mid2 = v2_ref[2 * blk + 1, :, :]
         t2v = t_fn(c1, v_mid1[:, None, :], v_mid2[None, :, :])
-        k = k + w2 * stencil(t2v) + b2
+        if mismatch and blk == 0:
+            # Channel-mismatch block: conv shortcut instead of identity.
+            k = (w2 * stencil(t2v) + b2) + (w2 * stencil(k) + b2)
+        else:
+            k = k + w2 * stencil(t2v) + b2
     out_ref[:] = k
 
 
-def _tail_pallas(k0, v1s, v2s, scales, *, nblocks, act, h, w, tile):
+def _tail_pallas(k0, v1s, v2s, scales, *, nblocks, act, h, w, tile,
+                 mismatch=False):
     n1, n2, hwp = k0.shape
     rows = v1s.shape[0]
     t1, t2 = tile
     grid = (n1 // t1, n2 // t2)
-    kernel = functools.partial(_tail_kernel, nblocks=nblocks, act=act, h=h, w=w)
+    kernel = functools.partial(_tail_kernel, nblocks=nblocks, act=act, h=h, w=w,
+                               mismatch=mismatch)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n1, n2, hwp), jnp.float32),
@@ -104,7 +111,7 @@ def _tail_pallas(k0, v1s, v2s, scales, *, nblocks, act, h, w, tile):
     )(scales, k0, v1s, v2s)
 
 
-def _tail_var_stack(v, nblocks, act, w_std, b_std):
+def _tail_var_stack(v, nblocks, act, w_std, b_std, mismatch=False):
     """Variance maps entering each activation of the tail blocks.
 
     v: [N, H, W] variance entering the first tail block. Returns
@@ -113,20 +120,26 @@ def _tail_var_stack(v, nblocks, act, w_std, b_std):
     t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
     w2, b2 = w_std * w_std, b_std * b_std
     rows = []
-    for _ in range(nblocks):
+    for blk in range(nblocks):
         rows.append(v)                                  # enters act 1
         c1 = w2 * _patch_mean(t_fn(v, v, v), (3, 3), (1, 1)) + b2
         rows.append(c1)                                 # enters act 2
-        v = v + w2 * _patch_mean(t_fn(c1, c1, c1), (3, 3), (1, 1)) + b2
+        main = w2 * _patch_mean(t_fn(c1, c1, c1), (3, 3), (1, 1)) + b2
+        if mismatch and blk == 0:
+            v = main + (w2 * _patch_mean(v, (3, 3), (1, 1)) + b2)  # conv shortcut
+        else:
+            v = v + main
     return jnp.stack(rows), v
 
 
 def resnet_tail_blocks(k, v1, v2, *, nblocks: int, act: str, w_std, b_std,
-                       tile: Tuple[int, int] = None):
+                       tile: Tuple[int, int] = None, mismatch: bool = False):
     """Run ``nblocks`` stride-1 residual blocks fused.
 
     k:  [N1, N2, H, W] matched-pixel covariance entering the tail.
     v1: [N1, H, W], v2: [N2, H, W] variances entering the tail.
+    With ``mismatch`` the first block uses a stride-1 conv shortcut (the
+    channel-mismatch leading block of a non-downsampling group).
     Returns (k', v1', v2') after the blocks.
     """
     n1, n2, h, w = k.shape
@@ -138,8 +151,8 @@ def resnet_tail_blocks(k, v1, v2, *, nblocks: int, act: str, w_std, b_std,
     p2 = (-n2) % t2
     lane_pad = (-hw) % 128
 
-    v1s, v1_out = _tail_var_stack(v1, nblocks, act, w_std, b_std)
-    v2s, v2_out = _tail_var_stack(v2, nblocks, act, w_std, b_std)
+    v1s, v1_out = _tail_var_stack(v1, nblocks, act, w_std, b_std, mismatch)
+    v2s, v2_out = _tail_var_stack(v2, nblocks, act, w_std, b_std, mismatch)
 
     k0 = jnp.pad(k.reshape(n1, n2, hw), ((0, p1), (0, p2), (0, lane_pad)))
     v1p = jnp.pad(v1s.reshape(2 * nblocks, n1, hw),
@@ -149,7 +162,7 @@ def resnet_tail_blocks(k, v1, v2, *, nblocks: int, act: str, w_std, b_std,
     scales = jnp.stack([jnp.asarray(w_std, jnp.float32) ** 2,
                         jnp.asarray(b_std, jnp.float32) ** 2])
     out = _tail_pallas(k0, v1p, v2p, scales, nblocks=nblocks, act=act,
-                       h=h, w=w, tile=tile)
+                       h=h, w=w, tile=tile, mismatch=mismatch)
     return (out[:n1, :n2, :hw].reshape(n1, n2, h, w), v1_out, v2_out)
 
 
@@ -203,10 +216,16 @@ def _conv_resnet_gram(depth, num_class, act, x1, x2, w_std, b_std, last_w_std):
     k, v1, v2 = _xla_conv(k, v1, v2, (1, 1), w_std, b_std)
 
     for g, strides in enumerate([(1, 1), (2, 2), (2, 2), (2, 2)]):
-        k, v1, v2 = _mismatch_block(k, v1, v2, strides, act, w_std, b_std)
-        if depth > 1:
-            k, v1, v2 = resnet_tail_blocks(k, v1, v2, nblocks=depth - 1,
-                                           act=act, w_std=w_std, b_std=b_std)
+        if strides == (1, 1):
+            # Stride-1 group: the mismatch block fuses too.
+            k, v1, v2 = resnet_tail_blocks(k, v1, v2, nblocks=depth, act=act,
+                                           w_std=w_std, b_std=b_std,
+                                           mismatch=True)
+        else:
+            k, v1, v2 = _mismatch_block(k, v1, v2, strides, act, w_std, b_std)
+            if depth > 1:
+                k, v1, v2 = resnet_tail_blocks(k, v1, v2, nblocks=depth - 1,
+                                               act=act, w_std=w_std, b_std=b_std)
     # Flatten + Dense(num_class, last_w_std).
     last2 = jnp.asarray(last_w_std, jnp.float32) ** 2
     return last2 * jnp.mean(k, axis=(2, 3))
