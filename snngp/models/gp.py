@@ -33,7 +33,7 @@ class SVSP:
     """Sparse variational stochastic process classifier (spax/models.py:15-78)."""
 
     def __init__(self, prior, kernel, inducing_variable, *, num_latent_gps: int = 1,
-                 eps: float = 1e-6):
+                 eps: float = 1e-6, chol_fn=None, mesh=None, chol_block: int = 512):
         self.prior = prior
         self.kernel = kernel
         self.num_latent_gps = num_latent_gps
@@ -41,6 +41,13 @@ class SVSP:
         self.num_inducing = self._inducing_init.shape[0]
         self._eps_init = eps
         self.bij = positive()
+        # Distributed factorization hook (SURVEY.md D3): all inducing-matrix
+        # solves in _posterior_pieces route through chol_fn when set.
+        if chol_fn is None and mesh is not None:
+            from functools import partial as _partial
+            from snngp.parallel.cholesky import blocked_cholesky
+            chol_fn = _partial(blocked_cholesky, block=chol_block)
+        self.chol_fn = chol_fn
 
     def init_params(self) -> Dict:
         return {
@@ -71,10 +78,10 @@ class SVSP:
         k_ii = self.kernel.K(kernel_fn, z)                   # [I, I]
         k_bb = self.kernel.K(kernel_fn, x_batch)             # [B, B]
 
-        k_ii_inv = inv_psd(add_jitter(k_ii, eps))            # [I, I]
+        k_ii_inv = inv_psd(add_jitter(k_ii, eps), chol_fn=self.chol_fn)  # [I, I]
         a_b = k_bi @ k_ii_inv                                # [B, I]
 
-        chol_rel = jnp.linalg.cholesky(add_diag_reg(k_ii, eps))
+        chol_rel = (self.chol_fn or jnp.linalg.cholesky)(add_diag_reg(k_ii, eps))
         v = solve_triangular(chol_rel, k_bi.T, lower=True)   # [I, B]
         b_b = k_bb - v.T @ v                                 # [B, B]
         return a_b, b_b, chol_rel, k_bi, k_ii, k_ii_inv, q_mu, q_sqrt
@@ -139,6 +146,10 @@ class SPR:
             if getattr(self.likelihood, "chol_fn", None) is None:
                 self.likelihood.chol_fn = _partial(blocked_cholesky,
                                                    block=chol_block)
+        # The predictive path (test_nll -> kernel.predict -> gp_predict)
+        # factors the same N×N train Gram; route it through the same
+        # distributed factorization so prediction scales with the mesh too.
+        self.chol_fn = getattr(self.likelihood, "chol_fn", None)
 
     def init_params(self) -> Dict:
         p = {
@@ -168,7 +179,8 @@ class SPR:
         eps = P.constrained_read(params["eps"], self.bij)
         kernel_fn = self.kernel.get_kernel_fn(params["kernel"])
         mean, cov = self.kernel.predict(
-            kernel_fn, self.x_data, self.y_data[:, None], x, eps=eps)
+            kernel_fn, self.x_data, self.y_data[:, None], x, eps=eps,
+            chol_fn=self.chol_fn)
 
         require = self.likelihood.require
         if require:

@@ -53,6 +53,11 @@ class NNGPKernel:
             return kernel_fn(x, x, get="nngp")
         return kernel_fn(x, x2, get="nngp")
 
-    def predict(self, kernel_fn, x, y, x_test, eps=1e-6):
-        """Exact GP posterior (spax/kernels.py:29-32); nt-relative diag_reg."""
-        return gp_predict(kernel_fn, x, y, x_test, diag_reg=eps, compute_cov=True)
+    def predict(self, kernel_fn, x, y, x_test, eps=1e-6, chol_fn=None):
+        """Exact GP posterior (spax/kernels.py:29-32); nt-relative diag_reg.
+
+        ``chol_fn`` swaps in a distributed blocked factorization of the train
+        Gram (snngp.parallel.cholesky) for mesh-scale N.
+        """
+        return gp_predict(kernel_fn, x, y, x_test, diag_reg=eps,
+                          compute_cov=True, chol_fn=chol_fn)

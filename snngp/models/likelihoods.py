@@ -91,7 +91,8 @@ class StudentTLikelihood(Likelihood):
 
         df = 2 * a
         cond_df = df + num_data
-        chol = jnp.linalg.cholesky(add_jitter((b / a) * cov_data, 1e-6))
+        chol = (self.chol_fn or jnp.linalg.cholesky)(
+            add_jitter((b / a) * cov_data, 1e-6))
         d = df + chol_quad_form(chol, y_data)
         sigma = jnp.sqrt(jnp.diag((d / cond_df) * (b / a) * cov))
         return stats.t.logpdf(x, cond_df, mean, sigma)

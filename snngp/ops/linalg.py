@@ -101,11 +101,17 @@ def solve_psd(mat: jax.Array, b: jax.Array) -> jax.Array:
     return cho_solve(cho_factor(mat, lower=True), b)
 
 
-def inv_psd(mat: jax.Array) -> jax.Array:
+def inv_psd(mat: jax.Array, chol_fn=None) -> jax.Array:
     """Explicit PSD inverse, for sites where the reference materializes
     ``jnp.linalg.inv`` (spax/models.py:40,68) and the inverse is reused against
-    several right-hand sides and inside trace/einsum contractions."""
+    several right-hand sides and inside trace/einsum contractions.
+
+    ``chol_fn`` swaps in a distributed blocked factorization
+    (snngp.parallel.cholesky) so the solve scales past one chip's HBM.
+    """
     n = mat.shape[-1]
+    if chol_fn is not None:
+        return cho_solve((chol_fn(mat), True), jnp.eye(n, dtype=mat.dtype))
     return cho_solve(cho_factor(mat, lower=True), jnp.eye(n, dtype=mat.dtype))
 
 
@@ -116,17 +122,20 @@ def gp_predict(
     x_test: jax.Array,
     diag_reg=1e-6,
     compute_cov: bool = True,
+    chol_fn=None,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """Exact NNGP posterior: mean = K*^T (K + r I)^-1 y, cov = K** - K*^T (K + r I)^-1 K*.
 
     Drop-in for ``neural_tangents.predict.gradient_descent_mse_ensemble(...)(
     x_test, get="nngp", compute_cov=True)`` as used at ``spax/kernels.py:29-32``
     and ``experiments/regression/find.py:73-78``, including the trace-relative
-    ``diag_reg`` scaling.
+    ``diag_reg`` scaling. ``chol_fn`` swaps in a distributed blocked
+    factorization of the N×N train Gram (snngp.parallel.cholesky) so the
+    predictive scales past one chip's HBM.
     """
     k_dd = kernel_fn(x_train, x_train, get="nngp")
     k_td = kernel_fn(x_test, x_train, get="nngp")
-    chol = jnp.linalg.cholesky(add_diag_reg(k_dd, diag_reg))
+    chol = (chol_fn or jnp.linalg.cholesky)(add_diag_reg(k_dd, diag_reg))
     mean = k_td @ chol_solve(chol, y_train)
     if not compute_cov:
         return mean, None

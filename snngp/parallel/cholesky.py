@@ -27,6 +27,14 @@ __all__ = ["blocked_cholesky", "distributed_cholesky"]
 def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
     """Lower Cholesky factor of PSD ``a`` via right-looking block panels.
 
+    The block count is static, so the panel loop unrolls with *statically
+    shrinking* trailing (syrk) updates: step k touches only the trailing
+    (n - (k+1)b)^2 submatrix, for ~n^3/3 multiplies total — the same leading
+    term as LAPACK's potrf — instead of the n^3 a full-width masked update
+    costs. Every step is matmul/solve-shaped (MXU-friendly), and under pjit
+    with row-sharded operands GSPMD partitions each trailing update across
+    the mesh with one [rest, b] panel all-gather per step over ICI.
+
     Non-multiple sizes are identity-padded ([[A, 0], [0, I]] factors to
     [[L, 0], [0, I]]) and sliced back. Equivalent to ``jnp.linalg.cholesky``
     up to float error.
@@ -39,27 +47,21 @@ def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
         a = a.at[jnp.arange(n0, n0 + pad), jnp.arange(n0, n0 + pad)].set(1.0)
     n = a.shape[-1]
     nb = n // block
-    rows = jnp.arange(n)[:, None]
 
-    def body(k, carry):
-        work, out = carry
-        off = k * block
-        akk = lax.dynamic_slice(work, (off, off), (block, block))
-        lkk = jnp.linalg.cholesky(akk)
-        col = lax.dynamic_slice(work, (0, off), (n, block))
-        # col @ lkk^{-T}: row-wise independent -> shards cleanly.
-        sol = lax.linalg.triangular_solve(lkk, col, left_side=False,
-                                          lower=True, transpose_a=True)
-        below = rows >= off + block
-        panel = jnp.where(below, sol, 0.0)
-        strip = lax.dynamic_update_slice(panel, lkk, (off, 0))
-        out = lax.dynamic_update_slice(out, strip, (0, off))
-        # Trailing (syrk) update: panel is zero at/above the diagonal block, so
-        # the outer product only touches the trailing submatrix.
-        work = work - panel @ panel.T
-        return work, out
-
-    _, out = lax.fori_loop(0, nb, body, (a, jnp.zeros_like(a)))
+    out = jnp.zeros_like(a)
+    work = a
+    for k in range(nb):
+        # work is the trailing submatrix from offset k*block on.
+        lkk = jnp.linalg.cholesky(work[:block, :block])
+        strip = lkk
+        if k + 1 < nb:
+            # rows below the diagonal block: solve L21 L11^T = A21.
+            panel = lax.linalg.triangular_solve(
+                lkk, work[block:, :block], left_side=False, lower=True,
+                transpose_a=True)
+            strip = jnp.concatenate([lkk, panel], axis=0)
+            work = work[block:, block:] - panel @ panel.T
+        out = lax.dynamic_update_slice(out, strip, (k * block, k * block))
     return out[:n0, :n0]
 
 

@@ -83,6 +83,104 @@ def test_blocked_cholesky_identity_padding():
                                np.asarray(jnp.linalg.cholesky(a)), atol=2e-4)
 
 
+def test_2d_mesh_gram_matches_dense():
+    """get_mesh(shape=(2,4)) + block-2D sharded_gram == dense Gram (VERDICT r1
+    item 8 / SURVEY.md D1-D2)."""
+    mesh = get_mesh(shape=(2, 4))
+    assert mesh.axis_names == ("rows", "cols") and mesh.devices.shape == (2, 4)
+    x = jax.random.normal(jax.random.PRNGKey(5), (32, 5))
+    kfn = arch.get_mlp_kernel(2, 1, "relu", w_std=1.2, b_std=0.2, last_w_std=1.0)
+    got = sharded_gram(kfn, x, mesh)
+    expect = kfn(x, x, get="nngp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
+    # cross-Gram with different row/col counts
+    x2 = jax.random.normal(jax.random.PRNGKey(6), (16, 5))
+    got = sharded_gram(kfn, x, mesh, x2=x2)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(kfn(x, x2, get="nngp")), atol=1e-5)
+
+
+def test_init_distributed_single_process_noop():
+    from snngp.parallel.mesh import init_distributed
+    assert init_distributed() is False  # no coordinator configured: no-op
+
+
+def test_mesh_sharded_predictive_parity():
+    """gp_predict / SPR.test_nll with the distributed blocked chol_fn on an
+    8-device mesh equals the monolithic jnp.linalg.cholesky path (VERDICT r1
+    item 2: the predictive must scale past one chip)."""
+    from functools import partial
+    from snngp.models import SPR, NNGPKernel, StudentTLikelihood
+    from snngp.ops.linalg import gp_predict
+
+    mesh = get_mesh(8)
+    rng = np.random.RandomState(7)
+    x = rng.randn(64, 4).astype(np.float32)
+    y = rng.randn(64).astype(np.float32)
+    xt = rng.randn(16, 4).astype(np.float32)
+    kfn = arch.get_mlp_kernel(2, 1, "relu", w_std=1.1, b_std=0.4, last_w_std=1.0)
+
+    def dist_chol(a):
+        return distributed_cholesky(a, mesh, block=16)
+
+    m1, c1 = gp_predict(kfn, x, y[:, None], xt, diag_reg=3e-2)
+    m2, c2 = gp_predict(kfn, x, y[:, None], xt, diag_reg=3e-2, chol_fn=dist_chol)
+    # fp32 reassociation through a different factorization order on an NNGP
+    # Gram: exact to ~1e-5 once conditioned.
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=2e-5)
+
+    def get_kernel_fn(w, b, l):
+        return arch.get_mlp_kernel(2, act="relu", w_std=w, b_std=b, last_w_std=l)
+
+    def build(mesh_):
+        kernel = NNGPKernel(get_kernel_fn, 1.0, 0.5, 1.0)
+        lik = StudentTLikelihood(2.0, 2.0)
+        return SPR(kernel, lik, x, y, jnp.array(0.0), jnp.array(1.0),
+                   eps=3e-2, mesh=mesh_, chol_block=16)
+
+    single, dist = build(None), build(mesh)
+    assert dist.chol_fn is not None  # predictive path wired to the mesh
+    p = single.init_params()
+    yt = rng.randn(16).astype(np.float32)
+    n1 = float(jax.jit(single.test_nll)(p, xt, yt))
+    n2 = float(jax.jit(dist.test_nll)(p, xt, yt))
+    np.testing.assert_allclose(n1, n2, rtol=1e-4)
+
+
+def test_svsp_chol_fn_parity():
+    """SVSP with a blocked chol_fn matches the default solve path (VERDICT r1
+    item 2: SVSP's _posterior_pieces must accept a distributed factorization)."""
+    from snngp.models import SVSP, NNGPKernel, InverseGammaPrior
+
+    rng = np.random.RandomState(9)
+    z = rng.randn(16, 5).astype(np.float32)
+    xb = rng.randn(24, 5).astype(np.float32)
+    yb = rng.randint(3, size=24)
+
+    def gkf(w, b, l):
+        return arch.get_mlp_kernel(2, 3, "relu", w_std=w, b_std=b, last_w_std=l)
+
+    def build(**kw):
+        return SVSP(InverseGammaPrior(2.0, 2.0), NNGPKernel(gkf, 1.0, 0.3, 1.0),
+                    z, num_latent_gps=3, eps=1e-4, **kw)
+
+    base = build()
+    blocked = build(chol_fn=lambda a: blocked_cholesky(a, block=8))
+    meshed = build(mesh=get_mesh(8), chol_block=8)
+    assert meshed.chol_fn is not None
+    p = base.init_params()
+    key = jax.random.PRNGKey(0)
+    l0 = float(base.loss(p, key, xb, yb, 100, 4))
+    for m in (blocked, meshed):
+        np.testing.assert_allclose(float(m.loss(p, key, xb, yb, 100, 4)), l0,
+                                   rtol=1e-5)
+    n0, c0 = base.test_acc_nll(p, key, xb, yb, 8)
+    n1, c1 = blocked.test_acc_nll(p, key, xb, yb, 8)
+    np.testing.assert_allclose(float(n0), float(n1), rtol=1e-5)
+    assert int(c0) == int(c1)
+
+
 def test_spr_loss_on_mesh_matches_single_device():
     """SPR with mesh: sharded Gram + blocked Cholesky == monolithic loss."""
     from snngp.models import SPR, NNGPKernel, StudentTLikelihood
