@@ -93,3 +93,48 @@ def test_permute_dataset_seeded():
     x2, y2 = R.permute_dataset(x, y, seed=5)
     np.testing.assert_array_equal(y1, y2)
     assert not np.array_equal(y1, y)
+
+
+def test_boston_loader_uci_layout(tmp_path):
+    """housing.data (one 14-col record per line) parses to (N,13) + (N,)."""
+    from snngp.data.regression import get_dataset
+
+    rows = np.random.RandomState(3).rand(5, 14)
+    d = tmp_path / "boston"
+    d.mkdir()
+    with open(d / "housing.data", "w") as f:
+        for r in rows:
+            f.write(" ".join(f"{v:9.5f}" for v in r) + "\n")
+    x, y = get_dataset("boston", root=str(tmp_path))
+    assert x.shape == (5, 13) and y.shape == (5,)
+    np.testing.assert_allclose(x, rows[:, :13], atol=1e-5)
+    np.testing.assert_allclose(y, rows[:, 13], atol=1e-5)
+
+
+def test_boston_loader_statlib_layout(tmp_path):
+    """StatLib dump: prose header + records wrapped over two lines (11+3)."""
+    from snngp.data.regression import _parse_boston_file
+
+    rows = np.random.RandomState(4).rand(4, 14)
+    path = tmp_path / "boston"
+    with open(path, "w") as f:
+        f.write("The Boston house-price data of Harrison, D.\n")
+        f.write("Variables in order:\n CRIM per capita crime rate\n\n")
+        for r in rows:
+            f.write(" ".join(f"{v:8.4f}" for v in r[:11]) + "\n")
+            f.write(" ".join(f"{v:8.4f}" for v in r[11:]) + "\n")
+    x, y = _parse_boston_file(str(path))
+    assert x.shape == (4, 13)
+    np.testing.assert_allclose(x, rows[:, :13], atol=1e-4)
+    np.testing.assert_allclose(y, rows[:, 13], atol=1e-4)
+
+
+def test_boston_loader_rejects_ragged(tmp_path):
+    from snngp.data.regression import _parse_boston_file
+    path = tmp_path / "bad"
+    path.write_text("1.0 2.0 3.0\n")
+    try:
+        _parse_boston_file(str(path))
+        assert False, "expected RuntimeError"
+    except RuntimeError:
+        pass
