@@ -169,3 +169,40 @@ def test_cnn_ntk_matches_finite_width_mc():
     keys = jax.random.split(jax.random.PRNGKey(12), 30)
     ntk_mc = jnp.mean(jax.lax.map(empirical_ntk, keys), axis=0)
     np.testing.assert_allclose(np.asarray(theta), np.asarray(ntk_mc), atol=0.2)
+
+
+@pytest.mark.slow
+def test_conv_resnet_kernel_matches_finite_width_mc():
+    """WideResNet NNGP vs finite-width MC (VERDICT r1 item 5): the strided
+    residual groups' covariance propagation against brute force at k=4."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 8, 3))
+    kfn = arch.get_conv_resnet_kernel(1, 1, "relu", w_std=1.0, b_std=0.1,
+                                      last_w_std=1.0)
+    K = kfn(x, x, get="nngp")
+    layer = arch.get_conv_resnet_layer(1, 1, "relu", 1.0, 0.1, 1.0, k=4)
+    K_mc = mc_kernel(layer, x, 400)
+    # S=400 at widths 32..256: measured max dev 0.035.
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.06)
+
+
+@pytest.mark.slow
+def test_conv_resnet_ntk_matches_finite_width_mc():
+    """WideResNet NTK vs empirical NTK averaged over inits (VERDICT r1 item 5)."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (3, 8, 8, 3))
+    kfn = arch.get_conv_resnet_kernel(1, 1, "relu", w_std=1.0, b_std=0.1,
+                                      last_w_std=1.0)
+    theta = kfn(x, x, get="ntk")
+
+    layer = arch.get_conv_resnet_layer(1, 1, "relu", 1.0, 0.1, 1.0, k=2)
+
+    def empirical_ntk(key):
+        _, params = layer.init(key, x.shape)
+        jac = jax.jacobian(lambda p: layer.apply(p, x)[:, 0])(params)
+        leaves = jax.tree_util.tree_leaves(jac)
+        return sum(jnp.tensordot(l, l, axes=(tuple(range(1, l.ndim)),) * 2)
+                   for l in leaves)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 24)
+    ntk_mc = jnp.mean(jax.lax.map(empirical_ntk, keys), axis=0)
+    # k=2, 24 inits: measured max dev 0.16 at kernel scale ~3.3.
+    np.testing.assert_allclose(np.asarray(theta), np.asarray(ntk_mc), atol=0.35)
