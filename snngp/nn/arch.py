@@ -164,11 +164,12 @@ def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
     def kernel_fn(x1, x2=None, get="nngp"):
         import jax
         x2_eff = x1 if x2 is None else x2
-        # hw <= 256 bound: Mosaic (current libtpu) fails to compile the
-        # stencil's multiple lane-shifts on larger flattened-spatial operands
-        # (see conv_gram.py docstring); larger images use the XLA tier.
+        # hw <= 1024 bound (CIFAR/SVHN 32x32 included): above 256 the kernel
+        # switches to the narrow-tile layout (conv_gram._cnn_gram_pallas) to
+        # stay inside Mosaic's scoped-VMEM budget; beyond 1024 the variance
+        # blocks outgrow VMEM and the XLA tier takes over.
         if (get == "nngp" and x1.ndim == 4
-                and x1.shape[1] * x1.shape[2] <= 256
+                and x1.shape[1] * x1.shape[2] <= 1024
                 and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
                 and jax.default_backend() == "tpu"):
             from snngp.ops.pallas.conv_gram import cnn_gram
@@ -191,7 +192,7 @@ def get_conv_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
         import jax
         x2_eff = x1 if x2 is None else x2
         if (get == "nngp" and x1.ndim == 4
-                and x1.shape[1] * x1.shape[2] <= 256
+                and x1.shape[1] * x1.shape[2] <= 1024
                 and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
                 and jax.default_backend() == "tpu"):
             from snngp.ops.pallas.resnet_conv_gram import conv_resnet_gram

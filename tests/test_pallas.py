@@ -168,3 +168,41 @@ def test_fused_conv_resnet_gram_gradients():
                                    float(jax.grad(f_r)(1.1)), rtol=1e-5)
     finally:
         RG.INTERPRET = False
+
+
+def test_fused_cnn_gram_narrow_layout_32x32():
+    """hw > 256 narrow-tile layout (3-D output block, t2 = 8): parity vs the
+    reference tier at CIFAR resolution (VERDICT r1 item 3)."""
+    import snngp.ops.pallas.conv_gram as CG
+    CG.INTERPRET = True
+    try:
+        x1 = jax.random.normal(jax.random.PRNGKey(20), (10, 32, 32, 3))
+        x2 = jax.random.normal(jax.random.PRNGKey(21), (6, 32, 32, 3))
+        assert CG._auto_tile(1024, 3)[1] == 8  # narrow layout engaged
+        K_p = CG.cnn_gram(x1, x2, depth=3, act="relu", w_std=1.2, b_std=0.3,
+                          last_w_std=0.9)
+        kfn = arch.get_cnn_kernel(3, 1, "relu", w_std=1.2, b_std=0.3,
+                                  last_w_std=0.9)
+        want = kfn(x1, x2, get="nngp")
+        err = np.max(np.abs(np.asarray(K_p) - np.asarray(want)))
+        assert err / np.max(np.abs(np.asarray(want))) < 1e-5
+    finally:
+        CG.INTERPRET = False
+
+
+def test_fused_conv_resnet_gram_32x32():
+    """Full WRN pipeline with hw = 1024 tail blocks through the narrow tiles."""
+    import snngp.ops.pallas.conv_gram as CG
+    import snngp.ops.pallas.resnet_conv_gram as RG
+    CG.INTERPRET = True
+    RG.INTERPRET = True
+    try:
+        x1 = jax.random.normal(jax.random.PRNGKey(22), (6, 32, 32, 3))
+        got = RG.conv_resnet_gram(x1, x1, depth=2, num_class=1, act="relu",
+                                  w_std=1.0, b_std=0.2, last_w_std=1.0)
+        want = RG._reference_conv_resnet(x1, x1, 2, 1, "relu", 1.0, 0.2, 1.0)
+        err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+        assert err / np.max(np.abs(np.asarray(want))) < 1e-5
+    finally:
+        CG.INTERPRET = False
+        RG.INTERPRET = False
