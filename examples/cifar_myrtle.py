@@ -47,13 +47,23 @@ def load_images(n, image_size, seed):
     return x, jnp.asarray(np.asarray(y[:n], np.float32))
 
 
-def tiled_gram(kernel_fn, x1, x2, tile, symmetric, mesh=None):
+def tiled_gram(kernel_fn, x1, x2, tile, symmetric, mesh=None, chunk=0,
+               remat=False):
     """Assemble K[x1, x2] from jitted (tile, tile) full-covariance blocks.
 
+    With ``chunk > 0``, batches ``chunk`` blocks per device dispatch inside
+    one lax.scan (snngp.nn.full.scan_tiled_gram) — essential through a
+    remote-device tunnel where each dispatch costs ~1 s of host latency.
     With a mesh, each row-tile's [tile, n2] strip is computed with the column
     batch sharded over devices (snngp.parallel.sharded_gram)."""
     n1, n2 = x1.shape[0], x2.shape[0]
     assert n1 % tile == 0 and n2 % tile == 0
+
+    if chunk and mesh is None:
+        from snngp.nn.full import scan_tiled_gram
+        return jnp.asarray(scan_tiled_gram(
+            kernel_fn, x1, None if symmetric else x2, tile=tile, chunk=chunk,
+            remat=remat))
 
     if mesh is not None:
         from snngp.parallel import sharded_gram
@@ -91,6 +101,13 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 full-covariance state (halves tile memory; "
                          "GAP accumulates fp32)")
+    ap.add_argument("--scan-chunk", type=int, default=0,
+                    help="batch this many Gram tiles per device dispatch "
+                         "inside lax.scan (>=32 recommended through the "
+                         "remote tunnel; 0 = per-tile dispatch)")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each tile inside the scan (lower "
+                         "peak memory per chunk)")
     ap.add_argument("--devices", type=int, default=1,
                     help="shard Gram row panels over an N-device mesh "
                          "(snngp.parallel.sharded_gram; N must divide the "
@@ -119,13 +136,16 @@ def main():
 
     with prof.phase("gram_train"):
         k_dd = prof.observe(tiled_gram(kfn, x_train, x_train, args.tile,
-                                       mesh is None, mesh=mesh))
+                                       mesh is None, mesh=mesh,
+                                       chunk=args.scan_chunk, remat=args.remat))
     with prof.phase("gram_cross"):
         k_td = prof.observe(tiled_gram(kfn, x_test, x_train, args.tile, False,
-                                       mesh=mesh))
+                                       mesh=mesh, chunk=args.scan_chunk,
+                                       remat=args.remat))
     with prof.phase("gram_test"):
         k_tt = prof.observe(tiled_gram(kfn, x_test, x_test, args.tile,
-                                       mesh is None, mesh=mesh))
+                                       mesh is None, mesh=mesh,
+                                       chunk=args.scan_chunk, remat=args.remat))
 
     with prof.phase("cholesky"):
         chol = prof.observe(jnp.linalg.cholesky(add_jitter(k_dd, args.eps)))

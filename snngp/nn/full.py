@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 __all__ = ["FullKernelState", "full_input_state", "ConvF", "ActF", "AvgPoolF",
            "GlobalAvgPoolF", "FlattenF", "DenseF", "serial_f",
-           "full_kernel_fn", "get_myrtle_kernel"]
+           "full_kernel_fn", "get_myrtle_kernel", "scan_tiled_gram"]
 
 
 @jax.tree_util.register_dataclass
@@ -227,6 +227,67 @@ def full_kernel_fn(composed, dtype=None):
         return outs[0] if isinstance(get, str) else tuple(outs)
 
     return kernel_fn
+
+
+def scan_tiled_gram(kernel_fn, x1, x2=None, *, tile: int = 16,
+                    chunk: int = 64, remat: bool = False):
+    """Assemble the N1 x N2 Gram from (tile, tile) blocks, ``chunk`` blocks
+    per device dispatch via ``lax.scan``.
+
+    The full-covariance tier carries a [t, t, H, W, H, W] state per block, so
+    large-N Grams must be built tile-by-tile; through a remote-device tunnel
+    each dispatch costs ~1 s of host latency, so per-block dispatch caps
+    throughput at ~1 block/s regardless of chip speed. Scanning ``chunk``
+    blocks inside one jitted computation amortizes that to ~1/chunk s — the
+    same trick as the CLI's --scan-chunk training loops.
+
+    Symmetric inputs (``x2 is None``) compute only the upper-triangle blocks
+    and mirror. ``remat`` wraps the per-block kernel in ``jax.checkpoint`` so
+    XLA frees each pooling group's 6-D state eagerly inside the scan (peak
+    VMEM/HBM bound by one block, not one chunk).
+
+    Returns the Gram as a numpy array (host-assembled).
+    """
+    import numpy as np
+    from jax import lax
+
+    symmetric = x2 is None
+    x2_eff = x1 if symmetric else x2
+    n1, n2 = x1.shape[0], x2_eff.shape[0]
+    assert n1 % tile == 0 and n2 % tile == 0, "pad inputs to the tile size"
+    nb1, nb2 = n1 // tile, n2 // tile
+
+    if symmetric:
+        pairs = [(i, j) for i in range(nb1) for j in range(i, nb2)]
+    else:
+        pairs = [(i, j) for i in range(nb1) for j in range(nb2)]
+    npairs = len(pairs)
+    pad = (-npairs) % chunk
+    pairs = np.asarray(pairs + [pairs[-1]] * pad, np.int32)   # [P, 2]
+
+    block_fn = lambda a, b: kernel_fn(a, b, get="nngp")
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+
+    @jax.jit
+    def run_chunk(idx):                                       # [chunk, 2]
+        def step(_, ij):
+            a = lax.dynamic_slice(x1, (ij[0] * tile,) + (0,) * (x1.ndim - 1),
+                                  (tile,) + x1.shape[1:])
+            b = lax.dynamic_slice(x2_eff, (ij[1] * tile,) + (0,) * (x2_eff.ndim - 1),
+                                  (tile,) + x2_eff.shape[1:])
+            return None, block_fn(a, b)
+        _, blocks = lax.scan(step, None, idx)
+        return blocks                                          # [chunk, t, t]
+
+    out = np.zeros((n1, n2), np.float32)
+    for c in range(0, len(pairs), chunk):
+        blocks = np.asarray(run_chunk(jnp.asarray(pairs[c:c + chunk])))
+        for (i, j), blk in zip(pairs[c:c + chunk], blocks):
+            out[i * tile:(i + 1) * tile, j * tile:(j + 1) * tile] = blk
+            if symmetric and j > i:
+                out[j * tile:(j + 1) * tile, i * tile:(i + 1) * tile] = blk.T
+    return out
 
 
 def get_myrtle_kernel(depth: int = 5, num_class: int = 1, act: str = "relu",

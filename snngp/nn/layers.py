@@ -47,11 +47,25 @@ __all__ = [
     "Identity",
     "FanOut",
     "FanInSum",
+    "AvgPool",
     "GlobalAvgPool",
     "serial",
     "parallel",
     "kernel_fn_of",
 ]
+
+
+def _is_full(k) -> bool:
+    """True when k is a full spatial-covariance state (snngp.nn.full).
+
+    Every layer's kfn is polymorphic over the two kernel-state tiers: the
+    matched-pixel KernelState (exact for Flatten readouts, cheap) and the
+    FullKernelState pixel-pair covariance (exact for pooled readouts). One
+    composed Layer therefore serves both tiers — pick per call via
+    ``kernel_fn_of(layer, full=True)``. Duck-typed on the ``cov1`` field to
+    avoid a circular import with snngp.nn.full.
+    """
+    return hasattr(k, "cov1")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +83,9 @@ def Dense(out_dim: int, w_std, b_std=0.0) -> Layer:
     """Fully-connected layer, NTK parameterization (stax.Dense analogue)."""
 
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.DenseF(w_std, b_std)(k)
         w2 = w_std * w_std
         b2 = b_std * b_std
         nngp = w2 * k.nngp + b2
@@ -121,6 +138,9 @@ def Conv(out_chan: int, filter_shape=(3, 3), strides=(1, 1), padding: str = "SAM
         raise NotImplementedError("only SAME padding (all reference archs use SAME)")
 
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.ConvF(filter_shape, strides, w_std, b_std)(k)
         if not k.spatial:
             raise ValueError("Conv requires spatial kernel state ([N,H,W,C] inputs)")
         w2 = w_std * w_std
@@ -203,6 +223,9 @@ def _outer(v1, v2, spatial: bool):
 
 def Relu() -> Layer:
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.ActF("relu")(k)
         b1, b2 = _outer(k.var1, k.var2, k.spatial)
         nngp = _relu_t(k.nngp, b1, b2)
         ntk = None if k.ntk is None else k.ntk * _relu_tdot(k.nngp, b1, b2)
@@ -231,6 +254,9 @@ def _erf_tdot(nngp, v1, v2):
 
 def Erf() -> Layer:
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.ActF("erf")(k)
         b1, b2 = _outer(k.var1, k.var2, k.spatial)
         nngp = _erf_t(k.nngp, b1, b2)
         ntk = None if k.ntk is None else k.ntk * _erf_tdot(k.nngp, b1, b2)
@@ -255,6 +281,9 @@ def Flatten() -> Layer:
     """Spatial mean readout (exact for Flatten -> Dense; stax.Flatten analogue)."""
 
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.FlattenF()(k) if k.spatial else k
         if not k.spatial:
             return k
         return KernelState(
@@ -279,19 +308,54 @@ def Flatten() -> Layer:
     return Layer(kfn, init, apply)
 
 
+def AvgPool(window=(2, 2), strides=None) -> Layer:
+    """Non-overlapping average pooling (stax.AvgPool analogue; the reference
+    comments it out at ``experiments/nt_kernels.py:75``).
+
+    Kernel recursion exists only on the full spatial-covariance tier
+    (``kernel_fn_of(layer, full=True)``); pooling mixes different pixels, so
+    the matched-pixel state cannot express it exactly.
+    """
+    if strides is not None and tuple(strides) != tuple(window):
+        raise NotImplementedError("only window == strides pooling")
+    win = window[0]
+
+    def kfn(k):
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.AvgPoolF(window)(k)
+        raise NotImplementedError(
+            "exact NNGP average pooling requires the full spatial-covariance "
+            "tier: build the kernel with kernel_fn_of(layer, full=True)")
+
+    def init(key, in_shape):
+        n, h, w, c = in_shape
+        return (n, h // win, w // win, c), ()
+
+    def apply(params, x):
+        n, h, w, c = x.shape
+        return x.reshape(n, h // win, win, w // win, win, c).mean(axis=(2, 4))
+
+    return Layer(kfn, init, apply)
+
+
 def GlobalAvgPool() -> Layer:
     """Global average pool over spatial dims.
 
-    NOTE: in the matched-pixel representation this is an *approximation* that
-    drops cross-pixel covariance (exact global pooling needs the full spatial
-    covariance tier). The reference never enables pooling
-    (``experiments/nt_kernels.py:75`` comments AvgPool out); provided for the
-    finite-width path and forward compatibility.
+    Kernel recursion exists only on the full spatial-covariance tier
+    (``kernel_fn_of(layer, full=True)``): exact global pooling needs the
+    cross-pixel covariance the matched-pixel state drops. The reference never
+    enables pooling (``experiments/nt_kernels.py:75`` comments AvgPool out);
+    the finite-width path works on either tier.
     """
 
     def kfn(k: KernelState) -> KernelState:
+        if _is_full(k):
+            from snngp.nn import full as F
+            return F.GlobalAvgPoolF()(k)
         raise NotImplementedError(
-            "exact NNGP global pooling requires the full spatial-covariance tier"
+            "exact NNGP global pooling requires the full spatial-covariance "
+            "tier: build the kernel with kernel_fn_of(layer, full=True)"
         )
 
     def init(key, in_shape):
@@ -331,9 +395,12 @@ def FanInSum() -> Layer:
 
     def kfn(ks):
         nngp = sum(k.nngp for k in ks)
+        ntk = None if ks[0].ntk is None else sum(k.ntk for k in ks)
+        if _is_full(ks[0]):
+            return type(ks[0])(nngp, sum(k.cov1 for k in ks),
+                               sum(k.cov2 for k in ks), ntk)
         var1 = sum(k.var1 for k in ks)
         var2 = sum(k.var2 for k in ks)
-        ntk = None if ks[0].ntk is None else sum(k.ntk for k in ks)
         return KernelState(nngp=nngp, var1=var1, var2=var2, ntk=ntk)
 
     def init(key, in_shapes):
@@ -390,17 +457,28 @@ def parallel(*layers: Layer) -> Layer:
     return Layer(kfn, init, apply)
 
 
-def kernel_fn_of(layer: Layer):
+def kernel_fn_of(layer: Layer, full: bool = False, dtype=None):
     """Turn a composed Layer into ``kernel_fn(x1, x2=None, get="nngp")``.
 
     Mirrors the neural_tangents ``kernel_fn`` call surface used at
     ``spax/kernels.py:23-27``. ``get`` may be "nngp", "ntk", or a tuple.
+
+    ``full=True`` runs the same composed Layer on the full spatial-covariance
+    tier (snngp.nn.full) — required for pooled readouts (AvgPool /
+    GlobalAvgPool), exact for everything; ``dtype`` optionally stores the 6-D
+    state in bf16 at scale. The default matched-pixel tier is exact for
+    Flatten readouts and far cheaper.
     """
 
     def kernel_fn(x1, x2=None, get="nngp"):
         want = (get,) if isinstance(get, str) else tuple(get)
         need_ntk = "ntk" in want
-        state = layer.kfn(input_state(x1, x2, ntk=need_ntk))
+        if full:
+            from snngp.nn.full import full_input_state
+            state = layer.kfn(full_input_state(x1, x2, ntk=need_ntk,
+                                               dtype=dtype))
+        else:
+            state = layer.kfn(input_state(x1, x2, ntk=need_ntk))
         outs = []
         for g in want:
             if g == "nngp":
