@@ -181,3 +181,24 @@ def test_classification_mesh_batch_sharding(tmp_path, monkeypatch):
     log = open(os.path.join(ckpt_root, "mesh", "train.log")).read()
     assert "Mesh: 8 devices" in log
     assert "nELBO" in log and "Traceback" not in log
+
+
+def test_regression_boston_from_local_cache(tmp_path):
+    """BASELINE.md parity golden #1 (boston gp/tp) is runnable offline given
+    a cached housing.data (VERDICT r1 item 6)."""
+    rows = np.random.RandomState(7).rand(60, 14) + 0.5
+    droot = tmp_path / "data" / "boston"
+    droot.mkdir(parents=True)
+    with open(droot / "housing.data", "w") as f:
+        for r in rows:
+            f.write(" ".join(f"{v:9.5f}" for v in r) + "\n")
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "reg", "tr", "-m", "tp", "-dn", "boston", "-dr", str(tmp_path / "data"),
+        "-cr", ckpt_root, "-cn", "boston", "-t", "10", "-vi", "5", "-pi", "5",
+        "-nh", "1", "-eps", "1e-2", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "boston")
+    assert glob.glob(os.path.join(ckpt_dir, "*.npz")), "no checkpoint saved"
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "NLL:" in log and "Traceback" not in log
