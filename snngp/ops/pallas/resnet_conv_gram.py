@@ -36,9 +36,95 @@ from jax.experimental.pallas import tpu as pltpu
 from snngp.ops.pallas.gram import _ACT_T
 from snngp.ops.pallas.conv_gram import _auto_tile
 
-__all__ = ["resnet_tail_blocks", "conv_resnet_gram"]
+__all__ = ["resnet_tail_blocks", "strided_mismatch_block", "conv_resnet_gram"]
 
 INTERPRET = False
+
+
+def _stride2_offsets(h: int, w: int):
+    """Lattice offsets (oh, ow) such that SAME stride-2 3x3 conv output (i, j)
+    equals the SAME stride-1 conv output at (2i + oh, 2j + ow).
+
+    lax SAME: out[i] = sum_d in[2i - pad_lo + d]; for even extent pad_lo = 0
+    (window centered at 2i + 1), for odd extent pad_lo = 1 (centered at 2i).
+    """
+    return (1 if h % 2 == 0 else 0), (1 if w % 2 == 0 else 0)
+
+
+def _strided_kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *,
+                    act: str, h: int, w: int):
+    """Channel-mismatch stride-2 residual block, fused at full resolution:
+
+        t1 = T(k, v_in);   c1 = w^2 S(t1) + b^2      (== stride-2 conv at the
+                                                       (oh, ow) parity lattice)
+        t2 = T_lattice(c1, v_mid)                     (v_mid expanded to the
+                                                       lattice, ones elsewhere)
+        c2 = w^2 S2(t2) + b^2                         (dilated +-2 stencil ==
+                                                       reduced-res stride-1 conv
+                                                       evaluated on the lattice)
+        sc = w^2 S(k) + b^2                           (conv shortcut, stride-2
+                                                       at the lattice)
+        out = c2 + sc          — valid on the lattice; garbage elsewhere,
+                                 subsampled away by the XLA wrapper.
+
+    Off-lattice lanes never contaminate lattice lanes: every shift used after
+    the lattice activation is by +-2 (parity-preserving) and the boundary
+    masks only admit lattice-interior neighbors.
+    """
+    w2 = scale_ref[0]
+    b2 = scale_ref[1]
+
+    t_fn = _ACT_T[act]
+    hw = h * w
+    hw_pad = k0_ref.shape[-1]
+    k = k0_ref[:]
+
+    oh, ow = _stride2_offsets(h, w)
+    h2, w2r = -(-h // 2), -(-w // 2)
+
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw_pad), 2)
+    col = p % w
+    row = p // w
+    in_img = p < hw
+    col_lo = (col >= 1) & in_img
+    col_hi = (col < w - 1) & in_img
+    row_lo = (row >= 1) & in_img
+    row_hi = (row < h - 1) & in_img
+    # Dilated-stencil masks: neighbor (i -+ 1, j -+ 1) of lattice point
+    # (2i + oh, 2j + ow) must stay inside the reduced image.
+    col_lo2 = (col >= ow + 2) & in_img
+    col_hi2 = (col <= ow + 2 * (w2r - 1) - 2) & in_img
+    row_lo2 = (row >= oh + 2) & in_img
+    row_hi2 = (row <= oh + 2 * (h2 - 1) - 2) & in_img
+
+    def stencil(z):
+        zc = (z
+              + jnp.where(col_lo, pltpu.roll(z, shift=1, axis=2), 0.0)
+              + jnp.where(col_hi, pltpu.roll(z, shift=hw_pad - 1, axis=2), 0.0))
+        zr = (zc
+              + jnp.where(row_lo, pltpu.roll(zc, shift=w, axis=2), 0.0)
+              + jnp.where(row_hi, pltpu.roll(zc, shift=hw_pad - w, axis=2), 0.0))
+        return zr / 9.0
+
+    def stencil2(z):
+        zc = (z
+              + jnp.where(col_lo2, pltpu.roll(z, shift=2, axis=2), 0.0)
+              + jnp.where(col_hi2, pltpu.roll(z, shift=hw_pad - 2, axis=2), 0.0))
+        zr = (zc
+              + jnp.where(row_lo2, pltpu.roll(zc, shift=2 * w, axis=2), 0.0)
+              + jnp.where(row_hi2, pltpu.roll(zc, shift=hw_pad - 2 * w, axis=2), 0.0))
+        return zr / 9.0
+
+    v_in1 = v1_ref[0, :, :]
+    v_in2 = v2_ref[0, :, :]
+    t1v = t_fn(k, v_in1[:, None, :], v_in2[None, :, :])
+    c1 = w2 * stencil(t1v) + b2
+    v_mid1 = v1_ref[1, :, :]
+    v_mid2 = v2_ref[1, :, :]
+    t2v = t_fn(c1, v_mid1[:, None, :], v_mid2[None, :, :])
+    c2 = w2 * stencil2(t2v) + b2
+    sc = w2 * stencil(k) + b2
+    out_ref[:] = c2 + sc
 
 
 def _tail_kernel(scale_ref, k0_ref, v1_ref, v2_ref, out_ref, *,
@@ -166,6 +252,80 @@ def resnet_tail_blocks(k, v1, v2, *, nblocks: int, act: str, w_std, b_std,
     return (out[:n1, :n2, :hw].reshape(n1, n2, h, w), v1_out, v2_out)
 
 
+def _strided_var_pieces(v, act, w_std, b_std):
+    """Variance recursion through the stride-2 mismatch block (cheap 1-D).
+
+    v: [N, H, W] entering the block. Returns (v_mid [N, H2, W2] entering the
+    second activation, v_out [N, H2, W2] leaving the block)."""
+    from snngp.nn.layers import _patch_mean, _relu_t, _erf_t
+    t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
+    w2, b2 = w_std * w_std, b_std * b_std
+    c1 = w2 * _patch_mean(t_fn(v, v, v), (3, 3), (2, 2)) + b2
+    main = w2 * _patch_mean(t_fn(c1, c1, c1), (3, 3), (1, 1)) + b2
+    sc = w2 * _patch_mean(v, (3, 3), (2, 2)) + b2
+    return c1, main + sc
+
+
+def _expand_lattice(v_red, h, w, oh, ow):
+    """Place reduced-res values on the (oh, ow) stride-2 lattice of the full
+    grid; ones elsewhere (keeps off-lattice activation args finite)."""
+    n = v_red.shape[0]
+    full = jnp.ones((n, h, w), v_red.dtype)
+    return full.at[:, oh::2, ow::2].set(v_red)
+
+
+def strided_mismatch_block(k, v1, v2, *, act: str, w_std, b_std,
+                           tile: Tuple[int, int] = None):
+    """Fused stride-2 channel-mismatch residual block (each WRN group's first
+    block, ``experiments/nt_kernels.py:62-66`` with strides (2, 2)).
+
+    k: [N1, N2, H, W]; v1/v2: [N, H, W]. Returns reduced (k', v1', v2') at
+    [H2, W2] = ceil spatial halves. The kernel runs at full resolution (a
+    stride-2 SAME conv is the stride-1 conv subsampled on a parity lattice);
+    the single XLA pass afterwards subsamples the lattice.
+    """
+    n1, n2, h, w = k.shape
+    hw = h * w
+    oh, ow = _stride2_offsets(h, w)
+    if tile is None:
+        tile = _auto_tile(hw, 2)
+    t1, t2 = tile
+    p1 = (-n1) % t1
+    p2 = (-n2) % t2
+    lane_pad = (-hw) % 128
+
+    v1_mid, v1_out = _strided_var_pieces(v1, act, w_std, b_std)
+    v2_mid, v2_out = _strided_var_pieces(v2, act, w_std, b_std)
+    v1s = jnp.stack([v1, _expand_lattice(v1_mid, h, w, oh, ow)])
+    v2s = jnp.stack([v2, _expand_lattice(v2_mid, h, w, oh, ow)])
+    v1p = jnp.pad(v1s.reshape(2, n1, hw), ((0, 0), (0, p1), (0, lane_pad)))
+    v2p = jnp.pad(v2s.reshape(2, n2, hw), ((0, 0), (0, p2), (0, lane_pad)))
+    k0 = jnp.pad(k.reshape(n1, n2, hw), ((0, p1), (0, p2), (0, lane_pad)))
+    scales = jnp.stack([jnp.asarray(w_std, jnp.float32) ** 2,
+                        jnp.asarray(b_std, jnp.float32) ** 2])
+
+    kernel = functools.partial(_strided_kernel, act=act, h=h, w=w)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n1 + p1, n2 + p2, hw + lane_pad),
+                                       jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=((n1 + p1) // t1, (n2 + p2) // t2),
+            in_specs=[
+                pl.BlockSpec((t1, t2, hw + lane_pad), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((2, t1, hw + lane_pad), lambda i, j, *_: (0, i, 0)),
+                pl.BlockSpec((2, t2, hw + lane_pad), lambda i, j, *_: (0, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((t1, t2, hw + lane_pad),
+                                   lambda i, j, *_: (i, j, 0)),
+        ),
+        interpret=INTERPRET,
+    )(scales, k0, v1p, v2p)
+    k_red = out[:n1, :n2, :hw].reshape(n1, n2, h, w)[:, :, oh::2, ow::2]
+    return k_red, v1_out, v2_out
+
+
 # ---------------------------------------------------------------------------
 # Full conv-WideResNet Gram: XLA boundaries + fused tails.
 # ---------------------------------------------------------------------------
@@ -222,7 +382,9 @@ def _conv_resnet_gram(depth, num_class, act, x1, x2, w_std, b_std, last_w_std):
                                            w_std=w_std, b_std=b_std,
                                            mismatch=True)
         else:
-            k, v1, v2 = _mismatch_block(k, v1, v2, strides, act, w_std, b_std)
+            # Stride-2 group boundary: fused at full res + lattice subsample.
+            k, v1, v2 = strided_mismatch_block(k, v1, v2, act=act,
+                                               w_std=w_std, b_std=b_std)
             if depth > 1:
                 k, v1, v2 = resnet_tail_blocks(k, v1, v2, nblocks=depth - 1,
                                                act=act, w_std=w_std, b_std=b_std)

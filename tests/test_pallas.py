@@ -206,3 +206,27 @@ def test_fused_conv_resnet_gram_32x32():
     finally:
         CG.INTERPRET = False
         RG.INTERPRET = False
+
+
+def test_fused_strided_mismatch_block():
+    """Stride-2 group-boundary block fused at full resolution (dilated
+    stencil + parity-lattice subsample) matches the XLA block on even, odd,
+    and rectangular extents."""
+    import snngp.ops.pallas.resnet_conv_gram as RG
+    RG.INTERPRET = True
+    try:
+        rng = np.random.RandomState(0)
+        for h, w in [(8, 8), (7, 7), (6, 10)]:
+            n1, n2 = 5, 4
+            v1 = jnp.asarray(rng.rand(n1, h, w) + 0.5, jnp.float32)
+            v2 = jnp.asarray(rng.rand(n2, h, w) + 0.5, jnp.float32)
+            k = (jnp.asarray(rng.rand(n1, n2, h, w), jnp.float32)
+                 * jnp.sqrt(v1[:, None] * v2[None]))
+            got = RG.strided_mismatch_block(k, v1, v2, act="relu", w_std=1.1,
+                                            b_std=0.2, tile=(8, 8))
+            want = RG._mismatch_block(k, v1, v2, (2, 2), "relu", 1.1, 0.2)
+            for g, wv in zip(got, want):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(wv),
+                                           atol=1e-5)
+    finally:
+        RG.INTERPRET = False
