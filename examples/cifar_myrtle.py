@@ -112,6 +112,12 @@ def main():
                     help="shard Gram row panels over an N-device mesh "
                          "(snngp.parallel.sharded_gram; N must divide the "
                          "data sizes)")
+    ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
+                    help="use the fused Pallas Myrtle kernel "
+                         "(snngp.ops.pallas.myrtle_gram; ~6.5x the XLA full "
+                         "tier at 32x32). auto = TPU backend and 32x32")
+    ap.add_argument("--fused-block", type=int, default=512,
+                    help="fixed dispatch block for the fused assembly")
     args = ap.parse_args()
     if args.bf16 and args.eps < 1e-2:
         # bf16 Gram entries carry ~1e-2 relative noise; the solve needs a
@@ -125,27 +131,38 @@ def main():
     y_train = (y[:args.n_train] - y_mean) / y_std
 
     import jax.numpy as _jnp
-    kfn = get_myrtle_kernel(args.depth, 1, "relu", w_std=1.0, b_std=0.1,
-                            last_w_std=1.0,
-                            dtype=_jnp.bfloat16 if args.bf16 else None)
+    hyper = dict(w_std=1.0, b_std=0.1, last_w_std=1.0)
+    kfn = get_myrtle_kernel(args.depth, 1, "relu",
+                            dtype=_jnp.bfloat16 if args.bf16 else None,
+                            **hyper)
     prof = Profiler()
     mesh = None
     if args.devices > 1:
         from snngp.parallel import get_mesh
         mesh = get_mesh(args.devices)
 
+    fused = (args.fused == "on"
+             or (args.fused == "auto" and jax.default_backend() == "tpu"
+                 and args.image_size == 32 and mesh is None))
+    if fused:
+        from snngp.ops.pallas.myrtle_gram import myrtle_gram_tiled
+
+        def gram(a, b, symmetric):
+            return jnp.asarray(myrtle_gram_tiled(
+                a, None if symmetric else b, depth=args.depth, act="relu",
+                block=args.fused_block, log=print, **hyper))
+    else:
+        def gram(a, b, symmetric):
+            return tiled_gram(kfn, a, b, args.tile,
+                              symmetric and mesh is None, mesh=mesh,
+                              chunk=args.scan_chunk, remat=args.remat)
+
     with prof.phase("gram_train"):
-        k_dd = prof.observe(tiled_gram(kfn, x_train, x_train, args.tile,
-                                       mesh is None, mesh=mesh,
-                                       chunk=args.scan_chunk, remat=args.remat))
+        k_dd = prof.observe(gram(x_train, x_train, True))
     with prof.phase("gram_cross"):
-        k_td = prof.observe(tiled_gram(kfn, x_test, x_train, args.tile, False,
-                                       mesh=mesh, chunk=args.scan_chunk,
-                                       remat=args.remat))
+        k_td = prof.observe(gram(x_test, x_train, False))
     with prof.phase("gram_test"):
-        k_tt = prof.observe(tiled_gram(kfn, x_test, x_test, args.tile,
-                                       mesh is None, mesh=mesh,
-                                       chunk=args.scan_chunk, remat=args.remat))
+        k_tt = prof.observe(gram(x_test, x_test, True))
 
     with prof.phase("cholesky"):
         chol = prof.observe(jnp.linalg.cholesky(add_jitter(k_dd, args.eps)))

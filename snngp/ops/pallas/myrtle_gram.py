@@ -1,0 +1,524 @@
+"""Pallas TPU kernel: fused Myrtle conv-NNGP Gram (full spatial-covariance tier).
+
+The north-star workload (BASELINE.md: CIFAR-10 conv-NNGP + Cholesky +
+Student-t predictive) needs the *full* pixel-pair covariance recursion
+(``snngp/nn/full.py``): average pooling mixes different pixels, so each image
+pair carries a ``[H*W, H*W]`` covariance through the depth recursion. XLA
+materializes every layer of that 6-D state in HBM — measured ~195 ms per
+(16, 16)-pair tile at 32x32 (RESULTS.md round 2) — because the conv stencil
+breaks elementwise fusion.
+
+This kernel runs the ENTIRE Myrtle recursion for each image pair inside VMEM
+(the per-pair state is only [1024, 1024] = 4 MB at 32x32) and writes just the
+final Gram scalar:
+
+- input moment: one small MXU matmul per row strip (``x1_strip @ x2^T``,
+  ``precision=HIGHEST`` so fp32 survives the MXU's bf16 passes),
+- conv 3x3 SAME on the pair state: the same-offset stencil
+  ``K'[p1, p2] = mean_d K[p1 + d, p2 + d]`` is separable into a column pass
+  and a row pass of *dual-axis* masked ``pltpu.roll``s (both axes shift by
+  the same offset, because i.i.d. filter taps only couple equal offsets),
+- activations: arccos/arcsin closed forms built from the sqrt/fma minimax
+  polynomial in ``snngp.ops.pallas.gram`` (Mosaic lowers no inverse trig),
+  with per-sample pre-activation variance profiles prefetched from a cheap
+  XLA per-sample recursion (``myrtle_var_profiles``),
+- 2x2 average pooling: EXACT compaction from pure reshapes + static half
+  slices (``_pool_rows``: row pairs at any pow2 stride become the two halves
+  of a block-merged reshape) on the sublane axis, with one in-VMEM transpose
+  to swap image sides; once the lane side would drop below reshape-friendly
+  sizes the tail stages keep a *sparse* lane layout (valid entries at
+  stride-2/4 positions of the (h/2) grid, conv shifts doubled) so lane
+  compaction is never needed,
+- global average pool + final dense: masked mean, one scalar per pair.
+
+Stage 1 is strip-mined over the first image's pixel rows (strips of <=128
+pixel rows + a zero halo wide enough for the whole in-group conv chain), so
+peak VMEM stays ~10 MB regardless of resolution. Grid is (N2/128, N1/8) —
+the 4 MB ``x2^T`` block stays resident while the cheap x1-side blocks sweep.
+
+Supports Myrtle-5/7/10 (``snngp/nn/full.py:get_myrtle_kernel``; conv counts
+per pooling group (1,1,1)/(2,2,1)/(3,3,2)), relu/erf, square pow2 images.
+32x32 (the reference's CIFAR/SVHN resolution, the north-star benchmark) is
+the TPU-compiled target; 8x8/16x16 run in interpret mode for parity tests.
+Differentiable w.r.t. (w_std, b_std, last_w_std) via a custom VJP through
+the reference full tier — same contract as ``conv_gram.cnn_gram``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from snngp.ops.pallas.gram import _ACT_T
+
+__all__ = ["myrtle_gram", "myrtle_var_profiles", "MYRTLE_GROUPS"]
+
+INTERPRET = False
+
+MYRTLE_GROUPS = {5: (1, 1, 1), 7: (2, 2, 1), 10: (3, 3, 2)}
+
+_T1 = 8     # a-side samples per grid cell (static unrolled)
+_T2 = 128   # b-side samples per grid cell (fori loop; output lane dim)
+
+
+# ---------------------------------------------------------------------------
+# XLA precompute: per-sample pre-activation variance profiles
+# ---------------------------------------------------------------------------
+
+def myrtle_var_profiles(x: jax.Array, groups: Sequence[int], act: str,
+                        w_std, b_std, chunk: int = 128):
+    """Pre-activation spatial-diagonal variances for every conv layer of the
+    Myrtle stack, via the per-sample full-covariance recursion
+    (``snngp/nn/full.py`` ConvF/ActF/AvgPoolF semantics on [h,w,h,w] states).
+
+    Returns a list of [N, r, r] arrays, one per conv (r = resolution at that
+    conv). Unlike the matched-pixel tier's variance stack
+    (``conv_gram._conv_var_stack``), pooling mixes pixels, so the post-pool
+    diagonal needs the off-diagonal same-sample covariance — hence the full
+    per-sample [h,w,h,w] state, chunked over N (the N-linear precompute is
+    ~N/chunk pair-tile equivalents, negligible next to the N^2 Gram).
+    """
+    from snngp.nn.full import _conv_pair, _pool_axis_pair
+    from snngp.nn.layers import _relu_t, _erf_t
+    t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
+    w2 = jnp.asarray(w_std, jnp.float32) ** 2
+    b2 = jnp.asarray(b_std, jnp.float32) ** 2
+    n, h, w, c = x.shape
+
+    def run(xc):
+        cov = jnp.einsum("nabc,ndec->nabde", xc, xc) / c
+        outs = []
+        for reps in groups:
+            for _ in range(reps):
+                cov = w2 * _conv_pair(cov, (3, 3), (1, 1)) + b2
+                v = jnp.einsum("nijij->nij", cov)
+                outs.append(v)
+                cov = t_fn(cov, v[:, :, :, None, None], v[:, None, None, :, :])
+            cov = _pool_axis_pair(_pool_axis_pair(cov, 2, 1), 2, 3)
+        return outs
+
+    chunks = [run(x[i:i + chunk].astype(jnp.float32))
+              for i in range(0, n, chunk)]
+    return [jnp.concatenate([ch[i] for ch in chunks])
+            for i in range(len(chunks[0]))]
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks
+# ---------------------------------------------------------------------------
+
+class _Axis(NamedTuple):
+    """One side of the pair state: flat index f maps to underlying-grid pixel
+    p = base + f on a (side x side) grid; logical pixels sit at positions
+    whose coords are multiples of ``stride`` (sparse tail layout)."""
+    side: int      # underlying grid side length
+    stride: int    # 1 = compact; 2/4 = sparse tail
+    base: int      # strip offset (stage-1 rows only; may be negative)
+
+
+def _neighbor_mask(length: int, ax: _Axis, dh: int, dw: int, axis: int):
+    """Validity of the (dh, dw)-shifted conv neighbor for every flat index.
+
+    axis=0 -> column mask [length, 1]; axis=1 -> row mask [1, length].
+    Out-of-image neighbors contribute zero (SAME zero padding)."""
+    shape = (length, 1) if axis == 0 else (1, length)
+    f = lax.broadcasted_iota(jnp.int32, shape, axis)
+    p = f + ax.base
+    ph = lax.div(p, ax.side)        # floor division (negative strip bases)
+    pw = p - ph * ax.side
+    ok = jnp.full(shape, True)
+    if dw:
+        t = pw + ax.stride * dw
+        ok = ok & (t >= 0) & (t < ax.side)
+    if dh:
+        t = ph + ax.stride * dh
+        ok = ok & (t >= 0) & (t < ax.side)
+    return ok
+
+
+def _shift2(z, d_row: int, d_lane: int, m_row, m_lane):
+    """z[p_row + d_row, p_lane + d_lane] with zero fill — dual-axis roll."""
+    r, l = z.shape
+    out = z
+    if d_row:
+        out = pltpu.roll(out, shift=(-d_row) % r, axis=0)
+    if d_lane:
+        out = pltpu.roll(out, shift=(-d_lane) % l, axis=1)
+    if m_row is not None:
+        out = jnp.where(m_row, out, 0.0)
+    if m_lane is not None:
+        out = jnp.where(m_lane, out, 0.0)
+    return out
+
+
+def _conv_dual(z, row_ax: _Axis, lane_ax: _Axis):
+    """3x3 SAME same-offset stencil mean over the pair state.
+
+    Separable: offsets (dh, dw) = (dh, 0) + (0, dw), and the zero-extension
+    masks factor per pass (matches ``full._conv_pair``)."""
+    r, l = z.shape
+
+    def one_pass(u, dh, dw):
+        acc = u
+        for s in (-1, 1):
+            mr = _neighbor_mask(r, row_ax, s * dh, s * dw, 0)
+            ml = _neighbor_mask(l, lane_ax, s * dh, s * dw, 1)
+            dr = s * row_ax.stride * (dh * row_ax.side + dw)
+            dl = s * lane_ax.stride * (dh * lane_ax.side + dw)
+            acc = acc + _shift2(u, dr, dl, mr, ml)
+        return acc
+
+    return one_pass(one_pass(z, 0, 1), 1, 0) / 9.0
+
+
+def _pool_rows(z, s: int):
+    """Sum row pairs (r, r + s) for pow2 stride s — pure reshapes + halves.
+
+    Rows group into blocks of 2s; flattening a block into one long row puts
+    the two pool partners exactly one half-row apart (lane dims only grow,
+    which keeps Mosaic's reshape lowering happy)."""
+    r, c = z.shape
+    z = z.reshape(r // (2 * s), 2 * s * c)
+    return (z[:, :s * c] + z[:, s * c:]).reshape(r // 2, c)
+
+
+def _pool_rows_2x2(z, w_g: int):
+    """2x2 mean pool on the row side (flat (h, w) rows, compact layout):
+    w-partners are adjacent rows, h-partners sit w_g/2 apart after w-pool."""
+    return 0.25 * _pool_rows(_pool_rows(z, 1), w_g // 2)
+
+
+def _pool_lanes_sparse(z, lane_ax: _Axis):
+    """2x2 mean pool on the lane side without compaction: window partners at
+    +stride (w) and +stride*side (h); results live at positions whose coords
+    are multiples of 2*stride. Other positions hold garbage that is never
+    read — conv shifts on a sparse axis only touch same-parity positions."""
+    s, g = lane_ax.stride, lane_ax.side
+    l = z.shape[1]
+    acc = (z
+           + pltpu.roll(z, shift=(-s) % l, axis=1)
+           + pltpu.roll(z, shift=(-s * g) % l, axis=1)
+           + pltpu.roll(z, shift=(-(s * g + s)) % l, axis=1))
+    return 0.25 * acc
+
+
+def _valid_lane_mask(length: int, ax: _Axis):
+    f = lax.broadcasted_iota(jnp.int32, (1, length), 1)
+    ph = f // ax.side
+    pw = f - ph * ax.side
+    return (ph % ax.stride == 0) & (pw % ax.stride == 0)
+
+
+def _halo(group0: int, w: int) -> int:
+    """Stage-1 strip halo: each in-group conv consumes (w + 1) flat pixel
+    rows of context; rounded to the sublane grid."""
+    return -(-(group0 * (w + 1)) // 8) * 8
+
+
+_STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
+                   out_ref, *, groups: Tuple[int, int, int], act: str, h: int,
+                   n_g3: int):
+    w2, b2, last2 = scale_ref[0], scale_ref[1], scale_ref[2]
+    t_fn = _ACT_T[act]
+    hw = h * h
+    strip = min(hw, _STRIP_ROWS)    # owned pixel rows per stage-1 strip
+    halo = _halo(groups[0], h)
+    n_strips = hw // strip
+    q1, q3 = hw // 4, hw // 64
+    r2, r3 = h // 2, h // 4
+
+    lane1 = _Axis(h, 1, 0)          # stage-1 lanes: b pixels, dense
+    ax2 = _Axis(r2, 1, 0)           # stage-2 both sides: compact (h/2) grid
+    ax3_rows = _Axis(r3, 1, 0)      # stage-3 rows: compact (h/4) grid
+    ax3_lane = _Axis(r2, 2, 0)      # stage-3 lanes: sparse on the (h/2) grid
+
+    def pair(a, b):
+        """Full Myrtle recursion for one sample pair (both indices traced).
+
+        The a-side stage-1 profile column is extracted with a one-hot
+        matvec (``precision=HIGHEST``, exact to ~1e-7) — dynamic width-1
+        lane slices are not lowerable, and sublane slices at arbitrary
+        8-multiples are, so the profiles ride the transposed layout."""
+        onehot_a = (lax.broadcasted_iota(jnp.int32, (_T1, 1), 0) == a
+                    ).astype(jnp.float32)                   # [T1, 1]
+        x2t = x2t_ref[b]                                    # [8, hw]
+        vb1_rows = [vb1[l][b][None, :] for l in range(groups[0])]
+
+        # ---- stage 1: conv group at full resolution, strip-mined rows ----
+        pooled = None                                       # [q1, hw]
+        for s in range(n_strips):
+            rows = strip + 2 * halo
+            lhs = x1_ref[a, s * strip:s * strip + rows, :]  # [rows, 8]
+            k = jnp.dot(lhs, x2t, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)    # [rows, hw]
+            cur = halo                                      # live halo width
+            for l in range(groups[0]):
+                row_ax = _Axis(h, 1, s * strip - cur)
+                k = w2 * _conv_dual(k, row_ax, lane1) + b2
+                # trim the halo this conv consumed before the (pointwise)
+                # activation — later convs only need the remaining context
+                need = _halo(groups[0] - 1 - l, h) if groups[0] - 1 - l else 0
+                if cur - need:
+                    k = k[cur - need:k.shape[0] - (cur - need)]
+                cur = need
+                lo = halo + s * strip - cur                 # padded coords
+                va = jnp.dot(va1[l][0][lo:lo + k.shape[0], :], onehot_a,
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)  # [rows', 1]
+                k = t_fn(k, va, vb1_rows[l])
+            blk = _pool_rows_2x2(k, h)                      # [strip//4, hw]
+            pooled = blk if pooled is None else jnp.concatenate([pooled, blk])
+
+        # swap sides, pool the (now row-side) b pixels -> [q1, q1]
+        k = _pool_rows_2x2(pooled.T, h)
+
+        # ---- stage 2: compact (h/2) grid both sides (rows=b, lanes=a) ----
+        for l in range(groups[1]):
+            k = w2 * _conv_dual(k, ax2, ax2) + b2
+            vb = vb2[l][b][None, :].T                       # [q1, 1]
+            va = va2[l][a][None, :]                         # [1, q1]
+            k = t_fn(k, vb, va)
+        k = _pool_rows_2x2(k, r2)                           # [q1//4, q1]
+        k = _pool_lanes_sparse(k, ax2)                      # lanes: stride 2
+
+        # ---- stage 3: rows compact (h/4); lanes sparse on (h/2) grid ----
+        for l in range(groups[2]):
+            k = w2 * _conv_dual(k, ax3_rows, ax3_lane) + b2
+            vb = vb3[l][b][None, :][:, :n_g3].T             # [q1//4, 1]
+            va = va3[l][a][None, :]                         # [1, q1] sparse
+            k = t_fn(k, vb, va)
+        k = _pool_rows_2x2(k, r3)                           # [q3, q1]
+        k = _pool_lanes_sparse(k, ax3_lane)                 # lanes: stride 4
+
+        # ---- GAP + final dense: masked mean over (h/8)^2 x (h/8)^2 ----
+        valid = _valid_lane_mask(q1, _Axis(r2, 4, 0))
+        total = jnp.sum(jnp.where(valid, k, 0.0))
+        return last2 * total / (q3 * q3)
+
+    def body(i, acc):
+        a, b = lax.div(i, _T2), lax.rem(i, _T2)
+        val = pair(a, b)
+        row = lax.broadcasted_iota(jnp.int32, (_T1, _T2), 0)
+        lane = lax.broadcasted_iota(jnp.int32, (_T1, _T2), 1)
+        return acc + jnp.where((row == a) & (lane == b), val, 0.0)
+
+    out_ref[:] = lax.fori_loop(0, _T1 * _T2, body,
+                               jnp.zeros((_T1, _T2), jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Wrapper: padding, profile layout, custom VJP
+# ---------------------------------------------------------------------------
+
+def _sparse_expand(v: jax.Array, side: int) -> jax.Array:
+    """[N, r, r] -> flat [N, (2r)^2] with values at the stride-2 positions of
+    the (side = 2r) grid (the tail stages' sparse lane layout)."""
+    n, r, _ = v.shape
+    out = jnp.zeros((n, side, side), v.dtype)
+    out = out.at[:, ::2, ::2].set(v)
+    return out.reshape(n, side * side)
+
+
+def _reference_myrtle(x1, x2, depth, act, w_std, b_std, last_w_std):
+    from snngp.nn.full import get_myrtle_kernel
+    kfn = get_myrtle_kernel(depth, 1, act, w_std=w_std, b_std=b_std,
+                            last_w_std=last_w_std)
+    return kfn(x1, x2, get="nngp")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std):
+    groups = MYRTLE_GROUPS[depth]
+    g0, g1, g2 = groups
+    n1, h, w, c = x1.shape
+    n2 = x2.shape[0]
+    assert h == w and h % 8 == 0 and (h & (h - 1)) == 0, \
+        "square pow2 images (Myrtle pools to h/8)"
+    hw = h * w
+    halo = _halo(g0, h)
+    p1 = (-n1) % _T1
+    p2 = (-n2) % _T2
+    x1p = jnp.pad(x1.astype(jnp.float32), ((0, p1),) + ((0, 0),) * 3)
+    x2p = jnp.pad(x2.astype(jnp.float32), ((0, p2),) + ((0, 0),) * 3)
+    m1, m2 = n1 + p1, n2 + p2
+
+    # flattened-pixel inputs: x1 row-padded by the halo (zero rows give the
+    # conv its SAME zero extension for free); x2 transposed for the MXU;
+    # channels zero-padded to the sublane grid, prescaled by 1/sqrt(c).
+    scale_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
+    x1f = jnp.pad(x1p.reshape(m1, hw, c) * scale_c,
+                  ((0, 0), (halo, halo), (0, 8 - c)))
+    x2t = jnp.pad(x2p.reshape(m2, hw, c) * scale_c,
+                  ((0, 0), (0, 0), (0, 8 - c))).transpose(0, 2, 1)
+
+    prof1 = myrtle_var_profiles(x1p, groups, act, w_std, b_std)
+    prof2 = myrtle_var_profiles(x2p, groups, act, w_std, b_std)
+    r2side = h // 2
+    n_g3 = hw // 16
+    g3pad = (-n_g3) % 128
+
+    # a-side stage-1 profiles, transposed per T1-group: the kernel slices
+    # strip rows off the sublane axis and extracts the sample column with a
+    # one-hot matvec (a [L, T1] block keeps the minor dim == the array dim,
+    # which the Mosaic block checker requires for non-128 minors).
+    def _t1_groups(p):                                      # [m1/T1, L, T1]
+        padded = jnp.pad(p.reshape(m1, hw), ((0, 0), (halo, halo)))
+        return padded.reshape(m1 // _T1, _T1, hw + 2 * halo).transpose(0, 2, 1)
+
+    va1 = [_t1_groups(prof1[l]) for l in range(g0)]
+    vb1 = [prof2[l].reshape(m2, hw) for l in range(g0)]
+    va2 = [prof1[g0 + l].reshape(m1, hw // 4) for l in range(g1)]
+    vb2 = [prof2[g0 + l].reshape(m2, hw // 4) for l in range(g1)]
+    va3 = [_sparse_expand(prof1[g0 + g1 + l], r2side) for l in range(g2)]
+    vb3 = [jnp.pad(prof2[g0 + g1 + l].reshape(m2, n_g3),
+                   ((0, 0), (0, g3pad))) for l in range(g2)]
+
+    scales = jnp.stack([jnp.asarray(w_std, jnp.float32) ** 2,
+                        jnp.asarray(b_std, jnp.float32) ** 2,
+                        jnp.asarray(last_w_std, jnp.float32) ** 2])
+
+    grid = (m2 // _T2, m1 // _T1)   # b outer: the 4 MB x2t block stays put
+
+    def a_spec(arr):
+        shp = (_T1,) + arr.shape[1:]
+        return pl.BlockSpec(shp, lambda j, i, *_: (i,) + (0,) * (arr.ndim - 1))
+
+    def b_spec(arr):
+        shp = (_T2,) + arr.shape[1:]
+        return pl.BlockSpec(shp, lambda j, i, *_: (j,) + (0,) * (arr.ndim - 1))
+
+    def va1_spec(arr):  # [m1/T1, L, T1]: one T1-group of transposed profiles
+        return pl.BlockSpec((1,) + arr.shape[1:], lambda j, i, *_: (i, 0, 0))
+
+    in_specs = ([a_spec(x1f), b_spec(x2t)]
+                + [va1_spec(v) for v in va1] + [b_spec(v) for v in vb1]
+                + [a_spec(v) for v in va2] + [b_spec(v) for v in vb2]
+                + [a_spec(v) for v in va3] + [b_spec(v) for v in vb3])
+
+    def kernel_entry(scale_ref, x1_ref, x2t_ref, *refs):
+        refs = list(refs)
+        def take(k):
+            out, refs[:k] = refs[:k], []
+            return out
+        va1_r, vb1_r = take(g0), take(g0)
+        va2_r, vb2_r = take(g1), take(g1)
+        va3_r, vb3_r = take(g2), take(g2)
+        (out_ref,) = refs
+        _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1_r, vb1_r, va2_r, vb2_r,
+                       va3_r, vb3_r, out_ref, groups=groups, act=act, h=h,
+                       n_g3=n_g3)
+
+    out = pl.pallas_call(
+        kernel_entry,
+        out_shape=jax.ShapeDtypeStruct((m1, m2), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((_T1, _T2), lambda j, i, *_: (i, j)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * m1 * m2 * hw,
+            bytes_accessed=(m1 * hw * 12 + m2 * hw * 36) * 4,
+            transcendentals=3 * m1 * m2 * hw,
+        ),
+        interpret=INTERPRET,
+    )(scales, x1f, x2t, *va1, *vb1, *va2, *vb2, *va3, *vb3)
+    return out[:n1, :n2]
+
+
+def _myrtle_fwd(depth, act, x1, x2, w_std, b_std, last_w_std):
+    out = _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std)
+    return out, (x1, x2, w_std, b_std, last_w_std)
+
+
+def _myrtle_bwd(depth, act, res, g):
+    x1, x2, w_std, b_std, last_w_std = res
+    _, vjp = jax.vjp(
+        lambda a, b, ww, bs, l: _reference_myrtle(a, b, depth, act, ww, bs, l),
+        x1, x2, w_std, b_std, last_w_std)
+    return vjp(g)
+
+
+_myrtle_gram.defvjp(_myrtle_fwd, _myrtle_bwd)
+
+
+def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
+                depth: int = 5, act: str = "relu",
+                w_std=1.0, b_std=0.0, last_w_std=1.0) -> jax.Array:
+    """Fused Myrtle-{5,7,10} NNGP Gram — drop-in for
+    ``full.get_myrtle_kernel(depth, ...)(x1, x2, get="nngp")``."""
+    if act not in _ACT_T:
+        raise KeyError(f"unsupported act '{act}'")
+    if x2 is None:
+        x2 = x1
+    return _myrtle_gram(depth, act, x1, x2,
+                        jnp.asarray(w_std, jnp.float32),
+                        jnp.asarray(b_std, jnp.float32),
+                        jnp.asarray(last_w_std, jnp.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _tiled_jit(depth: int, act: str):
+    """One cached jit per (depth, act): scales ride as traced arguments so
+    repeated myrtle_gram_tiled calls (and hyperparameter changes) never
+    retrace the ~2 min Mosaic compile."""
+    return jax.jit(lambda a, b, w, bs, l: myrtle_gram(
+        a, b, depth=depth, act=act, w_std=w, b_std=bs, last_w_std=l))
+
+
+def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
+                      depth: int = 5, act: str = "relu", w_std=1.0, b_std=0.0,
+                      last_w_std=1.0, block: int = 512, log=None):
+    """Assemble an arbitrarily large Myrtle Gram from fixed-shape
+    [block, block] fused-kernel dispatches.
+
+    Fixed shapes mean ONE Mosaic compile for the whole assembly (Mosaic
+    compiles per shape; ragged tail blocks are padded up). Symmetric inputs
+    (``x2 is None``) compute only the upper-triangular blocks and mirror.
+    Returns a host numpy array — at north-star sizes the Gram exceeds what
+    one wants resident on-device next to the Cholesky workspace.
+    """
+    import numpy as np
+    symmetric = x2 is None
+    x2e = x1 if symmetric else x2
+    n1, n2 = x1.shape[0], x2e.shape[0]
+
+    jfn = _tiled_jit(depth, act)
+    fn = lambda a, b: jfn(a, b, jnp.asarray(w_std, jnp.float32),
+                          jnp.asarray(b_std, jnp.float32),
+                          jnp.asarray(last_w_std, jnp.float32))
+
+    def blk(x, i):
+        piece = x[i:i + block]
+        if piece.shape[0] < block:
+            piece = jnp.pad(piece, ((0, block - piece.shape[0]),)
+                            + ((0, 0),) * (x.ndim - 1))
+        return piece
+
+    out = np.zeros((n1, n2), np.float32)
+    todo = [(i, j) for i in range(0, n1, block)
+            for j in range(i if symmetric else 0, n2, block)]
+    for t, (i, j) in enumerate(todo):
+        piece = np.asarray(fn(blk(x1, i), blk(x2e, j)))
+        h = min(block, n1 - i)
+        w = min(block, n2 - j)
+        out[i:i + h, j:j + w] = piece[:h, :w]
+        if symmetric and j > i:
+            out[j:j + w, i:i + h] = piece[:h, :w].T
+        if log is not None and (t % 8 == 0 or t == len(todo) - 1):
+            log(f"myrtle_gram_tiled: block {t + 1}/{len(todo)}")
+    return out

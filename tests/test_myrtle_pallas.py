@@ -1,0 +1,105 @@
+"""Parity tests for the fused Myrtle Gram kernel (interpret mode).
+
+The pair-state recursion, the separable dual-axis stencil, the reshape-based
+exact pooling, and the sparse-lane tail must reproduce the reference full
+spatial-covariance tier (snngp/nn/full.py) to fp32 accuracy. On-TPU execution
+of the compiled kernel is exercised by bench.py / examples/cifar_myrtle.py;
+here the kernel runs in interpret mode at small resolutions.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import snngp.ops.pallas.myrtle_gram as mg
+from snngp.nn.full import get_myrtle_kernel
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(mg, "INTERPRET", True)
+
+
+def _data(n1, n2, h, seed=0):
+    rng = np.random.RandomState(seed)
+    x1 = jnp.asarray(rng.rand(n1, h, h, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(n2, h, h, 3), jnp.float32)
+    return x1, x2
+
+
+@pytest.mark.parametrize("depth,act", [(5, "relu"), (7, "relu"), (5, "erf")])
+def test_myrtle_gram_matches_full_tier(depth, act):
+    x1, x2 = _data(8, 128, 8)
+    got = mg.myrtle_gram(x1, x2, depth=depth, act=act,
+                         w_std=1.3, b_std=0.2, last_w_std=1.1)
+    kfn = get_myrtle_kernel(depth, 1, act, w_std=1.3, b_std=0.2,
+                            last_w_std=1.1)
+    want = kfn(x1, x2, get="nngp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_myrtle_gram_symmetric_and_padding():
+    """x2=None defaults to x1; non-multiple N1/N2 are padded and sliced."""
+    x1, _ = _data(5, 1, 8, seed=3)
+    got = mg.myrtle_gram(x1, depth=5, act="relu",
+                         w_std=1.0, b_std=0.1, last_w_std=1.0)
+    kfn = get_myrtle_kernel(5, 1, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
+    want = kfn(x1, x1, get="nngp")
+    assert got.shape == (5, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_myrtle_gram_16x16_two_strips():
+    """16x16 exercises the multi-strip stage-1 path (2 strips of 128 rows)."""
+    x1, x2 = _data(8, 128, 16, seed=1)
+    got = mg.myrtle_gram(x1, x2, depth=5, act="relu",
+                         w_std=1.1, b_std=0.15, last_w_std=0.9)
+    kfn = get_myrtle_kernel(5, 1, "relu", w_std=1.1, b_std=0.15,
+                            last_w_std=0.9)
+    want = kfn(x1, x2, get="nngp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_myrtle_gram_gradients_via_reference_vjp():
+    """Hyperparameter grads flow through the custom VJP (reference tier)."""
+    x1, x2 = _data(8, 128, 8, seed=2)
+
+    def loss(w, b, l):
+        return jnp.sum(mg.myrtle_gram(x1, x2, depth=5, act="relu",
+                                      w_std=w, b_std=b, last_w_std=l))
+
+    def loss_ref(w, b, l):
+        kfn = get_myrtle_kernel(5, 1, "relu", w_std=w, b_std=b, last_w_std=l)
+        return jnp.sum(kfn(x1, x2, get="nngp"))
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(1.2, 0.3, 1.0)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(1.2, 0.3, 1.0)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5)
+
+
+def test_var_profiles_match_full_tier_diag():
+    """Profile recursion equals the full tier's per-sample diagonal."""
+    from snngp.nn.full import full_input_state, ConvF, ActF, AvgPoolF
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(3, 8, 8, 3), jnp.float32)
+    profs = mg.myrtle_var_profiles(x, (1, 1, 1), "relu", 1.2, 0.3, chunk=2)
+    assert [p.shape for p in profs] == [(3, 8, 8), (3, 4, 4), (3, 2, 2)]
+
+    state = full_input_state(x, x)
+    state = ConvF((3, 3), (1, 1), 1.2, 0.3)(state)
+    v = jnp.einsum("nijij->nij", state.cov1)
+    np.testing.assert_allclose(np.asarray(profs[0]), np.asarray(v),
+                               rtol=1e-6, atol=1e-7)
+    state = ActF("relu")(state)
+    state = AvgPoolF((2, 2))(state)
+    state = ConvF((3, 3), (1, 1), 1.2, 0.3)(state)
+    v2 = jnp.einsum("nijij->nij", state.cov1)
+    np.testing.assert_allclose(np.asarray(profs[1]), np.asarray(v2),
+                               rtol=1e-6, atol=1e-7)
