@@ -143,8 +143,17 @@ def main():
 
     fused = (args.fused == "on"
              or (args.fused == "auto" and jax.default_backend() == "tpu"
-                 and args.image_size == 32 and mesh is None))
-    if fused:
+                 and args.image_size == 32))
+    if fused and mesh is not None:
+        # Row panels of the fused kernel over the mesh (zero traffic until
+        # the solve; tests/test_myrtle_pallas.py validates on the CPU mesh).
+        from snngp.ops.pallas.myrtle_gram import myrtle_gram_sharded
+
+        def gram(a, b, symmetric):
+            return jnp.asarray(myrtle_gram_sharded(
+                a, None if symmetric else b, mesh, depth=args.depth,
+                act="relu", **hyper))
+    elif fused:
         from snngp.ops.pallas.myrtle_gram import myrtle_gram_tiled
 
         def gram(a, b, symmetric):

@@ -57,7 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from snngp.ops.pallas.gram import _ACT_T
 
-__all__ = ["myrtle_gram", "myrtle_var_profiles", "MYRTLE_GROUPS"]
+__all__ = ["myrtle_gram", "myrtle_gram_sharded", "myrtle_var_profiles",
+           "MYRTLE_GROUPS"]
 
 INTERPRET = False
 
@@ -469,6 +470,27 @@ def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                         jnp.asarray(w_std, jnp.float32),
                         jnp.asarray(b_std, jnp.float32),
                         jnp.asarray(last_w_std, jnp.float32))
+
+
+def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,
+                        depth: int = 5, act: str = "relu", w_std=1.0,
+                        b_std=0.0, last_w_std=1.0) -> jax.Array:
+    """Row-panel (1D mesh) / block-2D (2D mesh) sharded fused Myrtle Gram.
+
+    Each device runs the fused Pallas kernel on its shard of the image pairs
+    (``snngp.parallel.sharded_gram`` layout): zero inter-device traffic until
+    the solve stage, output sharded to feed the distributed Cholesky without
+    a relayout. Shard sizes must divide the mesh axes; the per-shard _T1/_T2
+    padding happens inside the kernel wrapper as usual.
+    """
+    from snngp.parallel import sharded_gram
+
+    def kfn(a, b, get="nngp"):
+        assert get == "nngp"
+        return myrtle_gram(a, b, depth=depth, act=act, w_std=w_std,
+                           b_std=b_std, last_w_std=last_w_std)
+
+    return sharded_gram(kfn, x1, mesh, x2=x2, check_vma=False)
 
 
 @functools.lru_cache(maxsize=8)

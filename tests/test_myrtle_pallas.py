@@ -84,6 +84,33 @@ def test_myrtle_gram_gradients_via_reference_vjp():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5)
 
 
+def test_myrtle_gram_depth10_tail_to_one_pixel():
+    """Myrtle-10 (groups 3,3,2) at 8x8 pools to a single valid GAP lane."""
+    x1, x2 = _data(8, 128, 8, seed=5)
+    got = mg.myrtle_gram(x1, x2, depth=10, act="relu",
+                         w_std=1.2, b_std=0.1, last_w_std=1.0)
+    kfn = get_myrtle_kernel(10, 1, "relu", w_std=1.2, b_std=0.1,
+                            last_w_std=1.0)
+    want = kfn(x1, x2, get="nngp")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_myrtle_gram_sharded_row_panels():
+    """Fused kernel under shard_map row panels on the 8-device CPU mesh
+    equals the full tier (the north-star multi-chip Gram layout)."""
+    from snngp.parallel import get_mesh
+    mesh = get_mesh(8)
+    x1, x2 = _data(16, 128, 8, seed=6)
+    got = mg.myrtle_gram_sharded(x1, x2, mesh, depth=5, act="relu",
+                                 w_std=1.0, b_std=0.1, last_w_std=1.0)
+    kfn = get_myrtle_kernel(5, 1, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
+    want = kfn(x1, x2, get="nngp")
+    assert got.shape == (16, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_var_profiles_match_full_tier_diag():
     """Profile recursion equals the full tier's per-sample diagonal."""
     from snngp.nn.full import full_input_state, ConvF, ActF, AvgPoolF
