@@ -43,11 +43,11 @@ def target_fn(x):
     return jnp.sin(x)
 
 
-def _erf_net(last_w_std, w_std=8.0, b_std=0.05):
+def _erf_net(last_w_std, w_std=8.0, b_std=0.05, width=WIDTH):
     return L.serial(
-        L.Dense(WIDTH, w_std=w_std, b_std=b_std), L.Erf(),
-        L.Dense(WIDTH, w_std=w_std, b_std=b_std), L.Erf(),
-        L.Dense(WIDTH, w_std=w_std, b_std=b_std), L.Erf(),
+        L.Dense(width, w_std=w_std, b_std=b_std), L.Erf(),
+        L.Dense(width, w_std=w_std, b_std=b_std), L.Erf(),
+        L.Dense(width, w_std=w_std, b_std=b_std), L.Erf(),
         L.Dense(1, w_std=last_w_std),
     )
 
@@ -75,16 +75,16 @@ def _make_dataset(seed=10, train_num=5, test_num=40, noise_scale=0.1):
 # Finite-network ensemble members
 # ---------------------------------------------------------------------------
 
-def _init_net(key, alpha, beta):
+def _init_net(key, alpha, beta, width=WIDTH):
     key_s, key_p = random.split(key)
     sigma = _sample_last_scale(key_s, alpha, beta)
-    net = _erf_net(sigma)
+    net = _erf_net(sigma, width=width)
     _, params = net.init(key_p, (-1, 1))
     return net, params
 
 
-def sample_network(key, alpha, beta, x_test):
-    net, params = _init_net(key, alpha, beta)
+def sample_network(key, alpha, beta, x_test, width=WIDTH):
+    net, params = _init_net(key, alpha, beta, width)
     return net.apply(params, x_test)
 
 
@@ -107,8 +107,8 @@ def _sgd_train(net, params, x_train, y_train, steps, lr, last_only):
 
 
 def trained_network(key, alpha, beta, x_train, y_train, x_test, steps, lr,
-                    last_only):
-    net, params = _init_net(key, alpha, beta)
+                    last_only, width=WIDTH):
+    net, params = _init_net(key, alpha, beta, width)
     params = _sgd_train(net, params, x_train, y_train, steps, lr, last_only)
     return net.apply(params, x_test)
 
@@ -142,7 +142,7 @@ def draw_sinx(train_num=5, test_num=40, alpha=1.0, beta=1.0, seed=10,
 
 def draw_corr(part, train_num=5, test_num=40, alpha=1.0, beta=1.0, seed=10,
               noise_scale=0.1, learning_rate=1e-3, ensemble_size=500,
-              train_steps=2000):
+              train_steps=10000, map_batch=50, width=WIDTH):
     """Ensemble marginal at a test point vs the analytic Student-t
     (notebook cells 1-2): part in {initial, last, full}."""
     key, x_train, y_train, x_test, _ = _make_dataset(seed, train_num,
@@ -179,13 +179,20 @@ def draw_corr(part, train_num=5, test_num=40, alpha=1.0, beta=1.0, seed=10,
 
     keys = random.split(key, ensemble_size)
     if part == "initial":
-        fn = lambda k: sample_network(k, alpha, beta, x_test)
+        fn = lambda k: sample_network(k, alpha, beta, x_test, width)
     else:
         fn = lambda k: trained_network(k, alpha, beta, x_train, y_train, x_test,
                                        train_steps, learning_rate,
-                                       last_only=(part == "last"))
-    samples = jax.lax.map(fn, keys, batch_size=50)
-    samples = np.squeeze(np.asarray(samples), axis=2).T  # [test_num, S]
+                                       last_only=(part == "last"), width=width)
+    # Host-chunked vmap: one device dispatch per map_batch members. A single
+    # lax.map over the whole ensemble is one giant XLA computation (members x
+    # train_steps); at large width that runs for minutes and remote-device
+    # tunnels kill it.
+    bs = min(map_batch, ensemble_size)
+    vfn = jax.jit(jax.vmap(fn))
+    chunks = [np.asarray(vfn(keys[i:i + bs]))
+              for i in range(0, ensemble_size, bs)]
+    samples = np.squeeze(np.concatenate(chunks), axis=2).T  # [test_num, S]
 
     return dict(samples=samples, nu=nu, mu=np.asarray(mu),
                 std=np.asarray(std))
@@ -199,7 +206,8 @@ def ks_correspondence(result, idx):
     ).statistic
 
 
-def main(outdir="figures", ensemble_size=500, train_steps=2000):
+def main(outdir="figures", ensemble_size=500, train_steps=10000, map_batch=50,
+         width=WIDTH):
     import os
     os.makedirs(outdir, exist_ok=True)
 
@@ -211,7 +219,7 @@ def main(outdir="figures", ensemble_size=500, train_steps=2000):
     for part, a, b in [("initial", 2.0, 2.0), ("last", 2.0, 2.0),
                        ("full", 1.0, 1.0)]:
         r = draw_corr(part, alpha=a, beta=b, ensemble_size=ensemble_size,
-                      train_steps=train_steps)
+                      train_steps=train_steps, map_batch=map_batch, width=width)
         idx = 21 if part != "last" else 20
         ks = ks_correspondence(r, idx)
         print(f"{part:8s}: KS(ensemble, analytic t) at test idx {idx}: {ks:.4f}")
@@ -260,6 +268,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--outdir", default="figures")
     ap.add_argument("--ensemble-size", type=int, default=500)
-    ap.add_argument("--train-steps", type=int, default=2000)
+    ap.add_argument("--train-steps", type=int, default=10000)
+    ap.add_argument("--map-batch", type=int, default=50,
+                    help="members per lax.map batch (raise on TPU)")
+    ap.add_argument("--width", type=int, default=WIDTH,
+                    help="finite-network width (512 = notebook; wider "
+                         "shrinks the finite-width gap the KS test detects)")
     a = ap.parse_args()
-    main(a.outdir, a.ensemble_size, a.train_steps)
+    main(a.outdir, a.ensemble_size, a.train_steps, a.map_batch, a.width)
