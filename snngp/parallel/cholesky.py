@@ -1,11 +1,16 @@
 """Blocked / distributed Cholesky factorization (SURVEY.md D3).
 
-Right-looking blocked algorithm in which every step is expressed as a
-full-width masked operation, so that under ``pjit`` with row-sharded operands
-XLA partitions the O(N^2 b) trailing update across the mesh and inserts only a
-small per-step panel all-gather ([N, b]) over ICI — the kernel-method analogue
-of a ring pipeline. Replaces the reference's monolithic
-``jnp.linalg.cholesky`` / ``inv`` / ``slogdet`` call sites for large N.
+Two distributed flavors of the right-looking blocked algorithm, replacing the
+reference's monolithic ``jnp.linalg.cholesky`` / ``inv`` / ``slogdet`` call
+sites (spax/models.py:40, spax/utils.py:39,138) at large N:
+
+- ``blocked_cholesky`` under ``pjit`` with row-sharded operands: GSPMD
+  partitions the trailing updates and inserts one [rest, b] panel all-gather
+  per step over ICI.
+- ``cyclic_cholesky``: explicit ScaLAPACK-style 1D block-cyclic column
+  distribution under ``shard_map`` — balanced trailing updates regardless of
+  how far the factorization has progressed, exactly one psum (ICI ring
+  all-reduce) per panel step.
 """
 
 from __future__ import annotations
@@ -13,14 +18,16 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh
+from jax.sharding import Mesh, PartitionSpec as Pspec
 
 from snngp.parallel.mesh import row_sharding
 
-__all__ = ["blocked_cholesky", "distributed_cholesky"]
+__all__ = ["blocked_cholesky", "cyclic_cholesky", "distributed_cholesky"]
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -77,14 +84,110 @@ def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
     return out[:n0, :n0]
 
 
-def distributed_cholesky(a: jax.Array, mesh: Optional[Mesh] = None,
-                         block: int = 512, axis_name: str = "data") -> jax.Array:
-    """Row-sharded blocked Cholesky over a device mesh.
+def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,
+                    axis_name: str = "data") -> jax.Array:
+    """Block-cyclic column-panel Cholesky with explicit collectives
+    (ScaLAPACK-style 1D right-looking factorization under ``shard_map``).
 
-    With ``mesh=None`` runs the single-device blocked kernel.
+    Column blocks are dealt round-robin over the mesh (block-cyclic), so the
+    trailing-update work stays balanced as the active submatrix shrinks —
+    the failure mode of contiguous row sharding, where low-row devices go
+    idle. Per panel step:
+
+    - the owning device factors the diagonal block and solves its panel
+      (``L21 L11^T = A21``, rows below the diagonal only),
+    - one ``psum`` broadcasts the [N, b] panel over the mesh — XLA lowers
+      this to an ICI all-reduce, i.e. the ring pipeline, and it is the ONLY
+      communication per step,
+    - every device applies the rank-b update to its own local column blocks
+      with global index > k, rows (k+1)b..N only (statically sliced; the
+      strictly-upper part of each local block is never written and reads as
+      garbage, exactly like ``jnp.linalg.cholesky``'s undefined upper half
+      before the final ``tril``).
+
+    Differentiable end-to-end (plain lax ops + psum) under an enclosing
+    ``jit`` — which every snngp training step has; eager reverse-mode over
+    shard_map trips a sharding-override assert in current JAX. Lookahead
+    (factoring panel k+1 while the trailing update of step k is in flight)
+    is the next refinement and needs a real multi-chip slice to validate.
+    """
+    P = mesh.shape[axis_name]
+    n0 = a.shape[-1]
+    step = block * P
+    pad = (-n0) % step
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n0, n0 + pad), jnp.arange(n0, n0 + pad)].set(1.0)
+    n = a.shape[-1]
+    nb = n // block
+    lb = nb // P
+
+    # Device-major block-cyclic layout: position d*lb + j holds global
+    # column block d + j*P, so a contiguous shard_map split gives device d
+    # exactly its cyclic deal.
+    order = np.asarray([d + j * P for d in range(P) for j in range(lb)])
+    a_perm = a.reshape(n, nb, block)[:, order, :].reshape(n, n)
+
+    def local_fn(al):
+        d = lax.axis_index(axis_name)
+        out = jnp.zeros_like(al)
+        for k in range(nb):
+            owner, li = k % P, k // P
+            kb = k * block
+            isown = d == owner
+            cand = al[:, li * block:(li + 1) * block]
+            # Non-owners factor the identity instead of their (non-SPD,
+            # NaN-producing) local block: keeps every lane finite so the
+            # select-mask below also stays NaN-free under reverse-mode AD.
+            eye = jnp.eye(block, dtype=al.dtype)
+            diag = jnp.where(isown, cand[kb:kb + block], eye)
+            rhs = jnp.where(isown, cand[kb + block:],
+                            jnp.zeros_like(cand[kb + block:]))
+            lkk = jnp.linalg.cholesky(diag)
+            below = lax.linalg.triangular_solve(
+                lkk, rhs, left_side=False, lower=True, transpose_a=True)
+            panel = jnp.concatenate(
+                [jnp.zeros((kb, block), al.dtype), lkk, below])
+            panel = jnp.where(isown, panel, jnp.zeros_like(panel))
+            panel = lax.psum(panel, axis_name)          # owner -> everyone
+            out = out.at[:, li * block:(li + 1) * block].set(
+                jnp.where(isown, panel, out[:, li * block:(li + 1) * block]))
+            if k + 1 < nb:
+                prows = panel[(k + 1) * block:]          # static row slice
+                for j in range(lb):
+                    g = d + j * P                        # traced global idx
+                    do = jnp.where(g > k, 1.0, 0.0).astype(al.dtype)
+                    rowpart = lax.dynamic_slice(
+                        panel, (g * block, 0), (block, block))
+                    upd = prows @ rowpart.T
+                    seg = al[(k + 1) * block:, j * block:(j + 1) * block]
+                    al = al.at[(k + 1) * block:,
+                               j * block:(j + 1) * block].set(seg - do * upd)
+        return out
+
+    spec = Pspec(None, axis_name)
+    fn = jax.shard_map(local_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    out = fn(a_perm)
+    inv = np.argsort(order)
+    out = out.reshape(n, nb, block)[:, inv, :].reshape(n, n)
+    return out[:n0, :n0]
+
+
+def distributed_cholesky(a: jax.Array, mesh: Optional[Mesh] = None,
+                         block: int = 512, axis_name: str = "data",
+                         strategy: str = "pjit") -> jax.Array:
+    """Distributed blocked Cholesky over a device mesh.
+
+    ``strategy="pjit"``: GSPMD-partitioned full-width blocked kernel on
+    row-sharded operands (collectives inserted by XLA).
+    ``strategy="cyclic"``: explicit block-cyclic panel algorithm
+    (:func:`cyclic_cholesky` — balanced trailing updates, one psum per
+    panel). With ``mesh=None`` runs the single-device blocked kernel.
     """
     if mesh is None or mesh.size == 1:
         return blocked_cholesky(a, block=block)
+    if strategy == "cyclic":
+        return cyclic_cholesky(a, mesh, block=block, axis_name=axis_name)
     shard = row_sharding(mesh, ndim=2, axis_name=axis_name)
     fn = jax.jit(partial(blocked_cholesky, block=block),
                  in_shardings=shard, out_shardings=shard)

@@ -38,6 +38,47 @@ def test_distributed_cholesky_on_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+def test_cyclic_cholesky_matches_lapack():
+    from snngp.parallel.cholesky import cyclic_cholesky
+    mesh = get_mesh(8)
+    a = _psd(512, seed=7)
+    got = cyclic_cholesky(a, mesh, block=32)
+    expect = jnp.linalg.cholesky(a)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
+
+
+def test_cyclic_cholesky_padding_and_strategy():
+    from snngp.parallel.cholesky import cyclic_cholesky
+    mesh = get_mesh(8)
+    a = _psd(200, seed=8)  # pads 200 -> 256 (block 32 x 8 devices)
+    got = distributed_cholesky(a, mesh, block=32, strategy="cyclic")
+    expect = jnp.linalg.cholesky(a)
+    assert got.shape == (200, 200)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
+
+
+def test_cyclic_cholesky_gradients():
+    """d logdet / d scale through the cyclic factorization matches the
+    monolithic op (chol_fn feeds training NLLs, so AD must survive the
+    select-masked panel broadcast)."""
+    from snngp.parallel.cholesky import cyclic_cholesky
+    from snngp.ops.linalg import chol_logdet
+    mesh = get_mesh(8)
+    base = _psd(128, seed=9)
+
+    def ld_cyc(s):
+        return chol_logdet(cyclic_cholesky(s * base, mesh, block=16))
+
+    def ld_ref(s):
+        return chol_logdet(jnp.linalg.cholesky(s * base))
+
+    # reverse-mode over shard_map requires an enclosing jit (eager grad hits
+    # a sharding-override assert in current JAX); training steps are jitted.
+    g1 = jax.jit(jax.grad(ld_cyc))(1.3)
+    g2 = jax.grad(ld_ref)(1.3)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
 def test_sharded_gram_matches_dense():
     mesh = get_mesh(8)
     x = jax.random.normal(jax.random.PRNGKey(0), (64, 5))
