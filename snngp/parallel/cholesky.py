@@ -105,11 +105,15 @@ def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,
       garbage, exactly like ``jnp.linalg.cholesky``'s undefined upper half
       before the final ``tril``).
 
-    Differentiable end-to-end (plain lax ops + psum) under an enclosing
-    ``jit`` — which every snngp training step has; eager reverse-mode over
-    shard_map trips a sharding-override assert in current JAX. Lookahead
-    (factoring panel k+1 while the trailing update of step k is in flight)
-    is the next refinement and needs a real multi-chip slice to validate.
+    The loop is software-pipelined with 1-step lookahead: after panel k's
+    broadcast, column k+1 alone is updated and panel k+1 factored *before*
+    the bulk trailing update, so the next psum has no data dependence on the
+    bulk matmuls and the runtime can overlap collective and compute (the
+    classic potrf lookahead; wall-clock benefit needs a real multi-chip
+    slice to observe). Differentiable end-to-end (plain lax ops + psum)
+    under an enclosing ``jit`` — which every snngp training step has; eager
+    reverse-mode over shard_map trips a sharding-override assert in current
+    JAX.
     """
     P = mesh.shape[axis_name]
     n0 = a.shape[-1]
@@ -131,15 +135,17 @@ def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,
     def local_fn(al):
         d = lax.axis_index(axis_name)
         out = jnp.zeros_like(al)
-        for k in range(nb):
+        eye = jnp.eye(block, dtype=al.dtype)
+
+        def local_panel(al, k):
+            """Pre-broadcast panel k: the owner factors its diagonal block
+            and solves the rows below; everyone else factors an identity
+            stand-in (keeps every lane finite so the select-mask stays
+            NaN-free under reverse-mode AD) that the mask discards."""
             owner, li = k % P, k // P
             kb = k * block
             isown = d == owner
             cand = al[:, li * block:(li + 1) * block]
-            # Non-owners factor the identity instead of their (non-SPD,
-            # NaN-producing) local block: keeps every lane finite so the
-            # select-mask below also stays NaN-free under reverse-mode AD.
-            eye = jnp.eye(block, dtype=al.dtype)
             diag = jnp.where(isown, cand[kb:kb + block], eye)
             rhs = jnp.where(isown, cand[kb + block:],
                             jnp.zeros_like(cand[kb + block:]))
@@ -148,21 +154,44 @@ def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,
                 lkk, rhs, left_side=False, lower=True, transpose_a=True)
             panel = jnp.concatenate(
                 [jnp.zeros((kb, block), al.dtype), lkk, below])
-            panel = jnp.where(isown, panel, jnp.zeros_like(panel))
-            panel = lax.psum(panel, axis_name)          # owner -> everyone
+            return jnp.where(isown, panel, jnp.zeros_like(panel))
+
+        # Software-pipelined with 1-step lookahead: panel k+1 is factored
+        # right after the lookahead update of column k+1, BEFORE the bulk
+        # trailing update of step k — so the next broadcast depends only on
+        # ops preceding the bulk matmuls and the runtime is free to overlap
+        # the collective with them.
+        cand_panel = local_panel(al, 0)
+        for k in range(nb):
+            owner, li = k % P, k // P
+            isown = d == owner
+            panel = lax.psum(cand_panel, axis_name)     # owner -> everyone
             out = out.at[:, li * block:(li + 1) * block].set(
                 jnp.where(isown, panel, out[:, li * block:(li + 1) * block]))
-            if k + 1 < nb:
-                prows = panel[(k + 1) * block:]          # static row slice
-                for j in range(lb):
-                    g = d + j * P                        # traced global idx
-                    do = jnp.where(g > k, 1.0, 0.0).astype(al.dtype)
-                    rowpart = lax.dynamic_slice(
-                        panel, (g * block, 0), (block, block))
-                    upd = prows @ rowpart.T
-                    seg = al[(k + 1) * block:, j * block:(j + 1) * block]
-                    al = al.at[(k + 1) * block:,
-                               j * block:(j + 1) * block].set(seg - do * upd)
+            if k + 1 == nb:
+                break
+            nk = k + 1
+            nkb = nk * block
+            nli = nk // P
+            isnext = d == (nk % P)
+            prows = panel[nkb:]                          # static row slice
+            # Lookahead: apply panel k to column k+1 only (its owner), with
+            # fully static slices since k+1 is a Python int.
+            upd = prows @ panel[nkb:nkb + block].T
+            seg = al[nkb:, nli * block:(nli + 1) * block]
+            al = al.at[nkb:, nli * block:(nli + 1) * block].set(
+                seg - jnp.where(isnext, 1.0, 0.0).astype(al.dtype) * upd)
+            cand_panel = local_panel(al, nk)
+            # Bulk trailing update: local columns with global index > k+1.
+            for j in range(lb):
+                g = d + j * P                            # traced global idx
+                do = jnp.where(g > nk, 1.0, 0.0).astype(al.dtype)
+                rowpart = lax.dynamic_slice(
+                    panel, (g * block, 0), (block, block))
+                upd = prows @ rowpart.T
+                seg = al[nkb:, j * block:(j + 1) * block]
+                al = al.at[nkb:,
+                           j * block:(j + 1) * block].set(seg - do * upd)
         return out
 
     spec = Pspec(None, axis_name)
