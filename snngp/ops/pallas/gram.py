@@ -60,12 +60,15 @@ _INV_2PI = 0.15915493667125702  # 1/(2 pi), fp32
 
 
 def _relu_t(k, v1, v2):
-    r = jax.lax.rsqrt(jnp.maximum(v1 * v2, 1e-30))
+    p = jnp.maximum(v1 * v2, 1e-30)
+    r = jax.lax.rsqrt(p)
     c = jnp.clip(k * r, -1.0, 1.0)
     theta = _acos(c)
     # sin(theta) = sqrt(1 - c^2) exactly on [0, pi] — avoids a sin() lowering.
     sin_t = jnp.sqrt(jnp.maximum(1.0 - c * c, 0.0))
-    return (sin_t / r + (jnp.pi - theta) * k) * _INV_2PI
+    # sqrt(p) as p * rsqrt(p): one multiply instead of a (multi-pass) VPU
+    # divide for the sin(theta)/r term.
+    return (sin_t * (p * r) + (jnp.pi - theta) * k) * _INV_2PI
 
 
 def _erf_t(k, v1, v2):
