@@ -57,8 +57,12 @@ DATASETS_DICT = {
     "svhn/ood": ("svhn_cropped", "ood", (1, 4, 8)),
     "svhn/imbalanced": ("svhn_cropped", "imbalanced", ("exp", .5)),
     "svhn/noisy_label": ("svhn_cropped", "noisy_label", 0.1),
-    # Offline-friendly synthetic dataset (ours; not in the reference).
+    # Offline-friendly synthetic datasets (ours; not in the reference).
+    # synthetic32 is the CIFAR-shaped (32x32x3) variant: it exercises the
+    # fused 32x32 Pallas conv kernels in the classification pipeline with no
+    # cached data.
     **_variants("synthetic", ood=(1, 2)),
+    **_variants("synthetic32", ood=(1, 2)),
 }
 
 DATASETS = list(DATASETS_DICT.keys())
@@ -149,18 +153,24 @@ _SYNTH_CLASSES = 10
 _SYNTH_SHAPE = (8, 8, 1)
 
 
-def _load_synthetic(split):
-    """Deterministic class-blob images in [0, 255] uint8-like floats."""
+def _load_synthetic(split, shape=_SYNTH_SHAPE):
+    """Deterministic class-blob images in [0, 255] uint8-like floats.
+
+    Blob centers/radii scale with resolution so the 8x8 stream stays
+    bit-identical to round 1 while 32x32x3 gives a CIFAR-shaped workload.
+    """
     n = 4096 if split == "train" else 1024
     seed = 1234 if split == "train" else 4321
     rs = np.random.RandomState(seed)
     labels = rs.randint(_SYNTH_CLASSES, size=n)
-    h, w, c = _SYNTH_SHAPE
+    h, w, c = shape
+    s = h / 8.0
     yy, xx = np.mgrid[0:h, 0:w]
     imgs = np.zeros((n, h, w, c), np.float64)
     for ci in range(_SYNTH_CLASSES):
         cy, cx = divmod(ci, 4)
-        blob = np.exp(-(((yy - 1.5 - 2 * cy) ** 2 + (xx - 1.5 - 2 * cx) ** 2) / 4.0))
+        blob = np.exp(-(((yy - s * (1.5 + 2 * cy)) ** 2
+                         + (xx - s * (1.5 + 2 * cx)) ** 2) / (4.0 * s * s)))
         mask = labels == ci
         imgs[mask] = blob[None, :, :, None] * 255.0
     imgs += rs.normal(scale=16.0, size=imgs.shape)
@@ -221,6 +231,8 @@ def _load_raw(base, split, root):
     """(images uint8 [N,H,W,C], labels int [N], num_class)."""
     if base == "synthetic":
         return _load_synthetic(split)
+    if base == "synthetic32":
+        return _load_synthetic(split, shape=(32, 32, 3))
 
     try:
         import tensorflow_datasets as tfds  # optional

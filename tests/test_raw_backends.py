@@ -86,3 +86,28 @@ def test_svhn_mat_backend(tmp_path):
     x, yy, nc = C._load_svhn_dir(str(d), "test")
     assert x.shape == (6, 32, 32, 3) and nc == 10
     np.testing.assert_array_equal(yy, [0, 1, 2, 9, 0, 5])
+
+
+def test_synthetic32_shape_and_8x8_stream_unchanged():
+    """synthetic32 is CIFAR-shaped; the 8x8 stream is bit-identical to the
+    ungeneralized loader (round-1 golden determinism)."""
+    x8, y8, nc = C._load_synthetic("test")
+    assert x8.shape == (1024, 8, 8, 1) and nc == 10
+    # pinned from the round-1 loader (first image checksum + labels head)
+    assert int(x8[0].sum()) == 2922
+    assert list(y8[:8]) == [2, 8, 2, 1, 7, 5, 9, 2]
+    x32, y32, nc32 = C._load_synthetic("test", shape=(32, 32, 3))
+    assert x32.shape == (1024, 32, 32, 3) and nc32 == 10
+    np.testing.assert_array_equal(y8, y32)  # same label stream
+    # blob geometry scales: class blob peaks in the same relative cell
+    i = int(np.argmax(y32 == 7))
+    p8 = np.unravel_index(np.argmax(x8[np.argmax(y8 == 7), :, :, 0]), (8, 8))
+    p32 = np.unravel_index(np.argmax(x32[i, :, :, 0]), (32, 32))
+    assert abs(p32[0] / 4 - p8[0]) <= 1 and abs(p32[1] / 4 - p8[1]) <= 1
+
+
+def test_synthetic32_parse_and_load():
+    (base, detail, option), clean = C.parse_dataset("synthetic32")
+    assert base == "synthetic32" and detail == "default"
+    x, y, nc = C._load_raw("synthetic32", "train", "./data")
+    assert x.shape == (4096, 32, 32, 3) and nc == 10
