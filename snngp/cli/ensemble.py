@@ -177,9 +177,14 @@ def train_main(args):
 
             if valid_nll < best_nll:
                 best_epoch, best_nll, best_acc = epoch, valid_nll, valid_acc
-                np.save(os.path.join(ckpt_dir, f"{epoch:03d}.npy"),
-                        np.array((jax.device_get(params), list(net_kwargs.values())),
-                                 dtype=object), allow_pickle=True)
+                # Pre-allocated object array: np.array((pytree, list)) would
+                # recurse when len(params) == len(net_kwargs) (e.g. nh=2
+                # gives 6 layers vs 6 kwargs) and mangle the pytree.
+                blob = np.empty(2, dtype=object)
+                blob[0] = jax.device_get(params)
+                blob[1] = list(net_kwargs.values())
+                np.save(os.path.join(ckpt_dir, f"{epoch:03d}.npy"), blob,
+                        allow_pickle=True)
                 logger.log(f"[{epoch:3d}]  Updated  NLL: {valid_nll:.6f}  ACC: {valid_acc:.2f}",
                            is_tqdm=True)
 
@@ -216,8 +221,16 @@ def test_main(args):
     for ckpt_dir in args.ckpt_dir:
         ckpts = sorted(glob.glob(os.path.join(ckpt_dir, "*.npy")))
         ckpts = [c for c in ckpts if not c.endswith("meta.npy")]
+        if not ckpts:
+            raise FileNotFoundError(
+                f"no member checkpoints (*.npy) under '{ckpt_dir}' — pass the "
+                f"run directory itself (ckpt_root/ckpt_name), one per member")
         last_ckpt = ckpts[-1]
         params, net_args = np.load(last_ckpt, allow_pickle=True)
+        # Back-compat: checkpoints written by the old recursing np.array save
+        # hold the layer tuple as an object ndarray; rewrap as a tuple.
+        if isinstance(params, np.ndarray) and params.dtype == object:
+            params = tuple(params)
         apply_fns.append(get_cnn(*net_args)[1])
         paramss.append(params)
 

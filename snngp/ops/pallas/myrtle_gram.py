@@ -222,7 +222,7 @@ def _halo(group0: int, w: int) -> int:
     return -(-(group0 * (w + 1)) // 8) * 8
 
 
-_STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff)
+_STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff; 512 exceeds the scoped-VMEM budget at 32x32)
 
 
 # ---------------------------------------------------------------------------

@@ -81,6 +81,21 @@ def test_ensemble_train_then_test(tmp_path):
               "-nd", "100", "-q"])
 
 
+@pytest.mark.slow
+def test_ensemble_nh2_checkpoint_roundtrip(tmp_path):
+    """nh=2 makes len(params) == len(net_kwargs) == 6: the old np.array save
+    recursed into a (2, 6) object array and ens ts crashed unpacking it."""
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "ens", "tr", "-m", "tp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "smoke2", "-e", "1", "-nd", "200", "-nb", "100", "-nh", "2",
+        "-nc", "8", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "smoke2")
+    _run_cli(["ens", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "100", "-q"])
+
+
 def test_find_both_samplers(tmp_path):
     for sampler in ["scipy", "device"]:
         out = str(tmp_path / sampler)
