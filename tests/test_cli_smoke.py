@@ -66,6 +66,23 @@ def test_classification_train_then_test(tmp_path):
 
 
 @pytest.mark.slow
+def test_classification_resize_roundtrip(tmp_path):
+    """-r 2 downscales inputs (reference classification/train.py:156-161);
+    cls ts must resize test images back to the inducing resolution."""
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "rs", "-e", "1", "-nd", "200", "-ni", "16", "-nb", "50",
+        "-ns", "4", "-nvs", "8", "-nh", "1", "-r", "2", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "rs")
+    _run_cli(["cls", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "50", "-nb", "50", "-ns", "16", "-q"])
+    test_logs = glob.glob(os.path.join(ckpt_dir, "test", "*.log"))
+    assert test_logs and "ACC:" in open(test_logs[0]).read()
+
+
+@pytest.mark.slow
 def test_ensemble_train_then_test(tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
     _run_cli([
