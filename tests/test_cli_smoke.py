@@ -113,6 +113,23 @@ def test_ensemble_nh2_checkpoint_roundtrip(tmp_path):
               "-nd", "100", "-q"])
 
 
+@pytest.mark.slow
+def test_ensemble_multi_member_average(tmp_path):
+    """ens ts with several -cd run dirs averages member logits
+    (reference ensemble/test.py:48-61)."""
+    ckpt_root = str(tmp_path / "ckpt")
+    dirs = []
+    for i, seed in enumerate([10, 11]):
+        _run_cli([
+            "ens", "tr", "-m", "tp", "-dn", "synthetic", "-cr", ckpt_root,
+            "-cn", f"m{i}", "-e", "1", "-nd", "200", "-nb", "100",
+            "-nh", "1", "-nc", "8", "-s", str(seed), "-q",
+        ])
+        dirs.append(os.path.join(ckpt_root, f"m{i}"))
+    _run_cli(["ens", "ts", "-dn", "synthetic", "-cd", *dirs,
+              "-nd", "100", "-q"])
+
+
 def test_find_both_samplers(tmp_path):
     for sampler in ["scipy", "device"]:
         out = str(tmp_path / sampler)

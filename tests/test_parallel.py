@@ -57,6 +57,18 @@ def test_cyclic_cholesky_padding_and_strategy():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+def test_cyclic_cholesky_size_block_fuzz():
+    """Odd sizes and block choices: padding + cyclic deal stay exact."""
+    from snngp.parallel.cholesky import cyclic_cholesky
+    mesh = get_mesh(8)
+    for n0, blk, seed in [(96, 16, 11), (130, 16, 12), (257, 32, 13)]:
+        a = _psd(n0, seed=seed)
+        got = cyclic_cholesky(a, mesh, block=blk)
+        expect = jnp.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=2e-4, err_msg=f"n0={n0} blk={blk}")
+
+
 def test_cyclic_cholesky_gradients():
     """d logdet / d scale through the cyclic factorization matches the
     monolithic op (chol_fn feeds training NLLs, so AD must survive the
