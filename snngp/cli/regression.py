@@ -120,9 +120,14 @@ def _build_model(args_like, x_train, y_train, y_mean, y_std):
     network, base_kernel_fn = _resolve_network(args_like["network"])
 
     def get_kernel_fn(w_std, b_std, last_w_std):
+        # ML-II trains only the scale scalars (reference
+        # regression/train.py:62), so the fused Gram kernels may take the
+        # cheap forward-mode scalar-tangent backward instead of the XLA-tier
+        # reverse recursion.
         return base_kernel_fn(
             args_like["num_hiddens"], act=args_like["activation"],
             w_std=w_std, b_std=b_std, last_w_std=last_w_std,
+            trainable_inputs=False,
         )
 
     kernel = NNGPKernel(get_kernel_fn, args_like["w_std"], args_like["b_std"],

@@ -160,9 +160,22 @@ class SPR:
         return p
 
     def _gram(self, kernel_fn):
-        """Full training Gram; row-sharded over the mesh when configured."""
-        if self.mesh is not None and self.num_data % self.mesh.size == 0:
+        """Full training Gram; row-sharded over the mesh when configured.
+
+        When ``num_data`` is not a multiple of the mesh size the rows are
+        zero-padded to the next multiple and the Gram sliced back — the mesh
+        path never silently degrades to a single-device Gram (which would
+        reintroduce the reference's OOM-bound monolithic build,
+        spax/kernels.py:23-27, exactly at the scale the mesh exists for).
+        """
+        if self.mesh is not None:
             from snngp.parallel.gram import sharded_gram
+            n = self.num_data
+            pad = (-n) % self.mesh.size
+            if pad:
+                x = jnp.pad(self.x_data,
+                            ((0, pad),) + ((0, 0),) * (self.x_data.ndim - 1))
+                return sharded_gram(kernel_fn, x, self.mesh)[:n, :n]
             return sharded_gram(kernel_fn, self.x_data, self.mesh)
         return self.kernel.K(kernel_fn, self.x_data)
 

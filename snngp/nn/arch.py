@@ -138,10 +138,16 @@ def _use_fused_mlp(x1, x2, get):
 
 
 def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
-                   last_w_std=1.0, width=512):
+                   last_w_std=1.0, width=512, trainable_inputs=True):
     """MLP kernel_fn with TPU auto-dispatch to the Pallas fused Gram kernel
     (snngp/ops/pallas/gram.py) for large nngp blocks; falls back to the
-    reference-tier recursion elsewhere (CPU, small N, ntk requests)."""
+    reference-tier recursion elsewhere (CPU, small N, ntk requests).
+
+    ``trainable_inputs=False`` declares that gradients are only ever taken
+    w.r.t. the scale scalars (the ML-II regression configuration,
+    regression/train.py:62): the fused kernel's backward then runs the
+    forward-mode scalar-tangent Pallas kernel instead of the XLA-tier
+    reverse recursion (~3x forward vs materializing every layer in HBM)."""
     ref_fn = _as_kernel_fn(get_mlp_layer)(
         num_hiddens, num_class, act, w_std, b_std, last_w_std, width=width)
 
@@ -150,14 +156,18 @@ def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         if _use_fused_mlp(x1, x2_eff, get):
             from snngp.ops.pallas.gram import mlp_gram
             return mlp_gram(x1, x2_eff, depth=num_hiddens, act=act,
-                            w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+                            w_std=w_std, b_std=b_std, last_w_std=last_w_std,
+                            trainable_inputs=trainable_inputs)
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn
 def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
-                   last_w_std=1.0, channels=1):
+                   last_w_std=1.0, channels=1, trainable_inputs=True):
     """CNN kernel_fn with TPU auto-dispatch to the fused Pallas conv-Gram
-    kernel (stride-1 SAME 3x3, the reference architecture)."""
+    kernel (stride-1 SAME 3x3, the reference architecture).
+    ``trainable_inputs=False``: scalar-only gradients via the fused tangent
+    kernel (see :func:`get_mlp_kernel`); keep True for SVSP classification,
+    which trains its inducing inputs."""
     ref_fn = _as_kernel_fn(get_cnn_layer)(
         num_hiddens, num_class, act, w_std, b_std, last_w_std, channels=channels)
 
@@ -174,7 +184,8 @@ def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
                 and jax.default_backend() == "tpu"):
             from snngp.ops.pallas.conv_gram import cnn_gram
             return cnn_gram(x1, x2_eff, depth=num_hiddens, act=act,
-                            w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+                            w_std=w_std, b_std=b_std, last_w_std=last_w_std,
+                            trainable_inputs=trainable_inputs)
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn
@@ -205,9 +216,12 @@ def get_conv_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
 
 
 def get_dense_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
-                            b_std=0.0, last_w_std=1.0, width=512):
+                            b_std=0.0, last_w_std=1.0, width=512,
+                            trainable_inputs=True):
     """Dense-resnet kernel_fn with TPU auto-dispatch to the fused Pallas
-    kernel (resnet mode) for large nngp blocks."""
+    kernel (resnet mode) for large nngp blocks. ``trainable_inputs=False``:
+    scalar-only gradients via the fused tangent kernel (see
+    :func:`get_mlp_kernel`)."""
     ref_fn = _as_kernel_fn(get_dense_resnet_layer)(
         num_hiddens, num_class, act, w_std, b_std, last_w_std, width=width)
 
@@ -216,7 +230,8 @@ def get_dense_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
         if _use_fused_mlp(x1, x2_eff, get):
             from snngp.ops.pallas.gram import resnet_gram
             return resnet_gram(x1, x2_eff, depth=num_hiddens, act=act,
-                               w_std=w_std, b_std=b_std, last_w_std=last_w_std)
+                               w_std=w_std, b_std=b_std, last_w_std=last_w_std,
+                               trainable_inputs=trainable_inputs)
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn

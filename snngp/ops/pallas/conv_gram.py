@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from snngp.ops.pallas.gram import _ACT_T
+from snngp.ops.pallas.gram import _ACT_T, _ACT_T_PARTIALS
 
 __all__ = ["cnn_gram"]
 
@@ -153,6 +153,178 @@ def _cnn_gram_pallas(k0, v1s, v2s, scales, *, depth, act, h, w, tile):
     return out[..., 0] if narrow else out
 
 
+def _make_stencil(h, w, hw, hw_pad):
+    """The separable 3x3 SAME stencil closure + the in-image lane mask
+    (shared by the forward and the augmented-tangent kernels)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hw_pad), 2)
+    col = p % w
+    row = p // w
+    in_img = p < hw
+    col_lo = (col >= 1) & in_img
+    col_hi = (col < w - 1) & in_img
+    row_lo = (row >= 1) & in_img
+    row_hi = (row < h - 1) & in_img
+
+    def stencil(z):
+        zc = (z
+              + jnp.where(col_lo, pltpu.roll(z, shift=1, axis=2), 0.0)
+              + jnp.where(col_hi, pltpu.roll(z, shift=hw_pad - 1, axis=2), 0.0))
+        zr = (zc
+              + jnp.where(row_lo, pltpu.roll(zc, shift=w, axis=2), 0.0)
+              + jnp.where(row_hi, pltpu.roll(zc, shift=hw_pad - w, axis=2), 0.0))
+        return zr / 9.0
+
+    return stencil, in_img
+
+
+def _grad_kernel(scale_ref, k0_ref, v1_ref, v2_ref, dv1_ref, dv2_ref,
+                 out_ref, dw_ref, db_ref, dl_ref, *, depth: int, act: str,
+                 h: int, w: int, out3d: bool = False):
+    """Augmented conv tile: primal + forward-mode tangents w.r.t. the three
+    scale scalars, fused in VMEM. The conv stencil is linear, so tangents
+    propagate by the same stencil; the activation partials are shared across
+    tangents (see gram._gram_grad_kernel)."""
+    w2, b2, last2 = scale_ref[0], scale_ref[1], scale_ref[2]
+    ws, bs, ls = scale_ref[3], scale_ref[4], scale_ref[5]
+
+    partials = _ACT_T_PARTIALS[act]
+    hw = h * w
+    hw_pad = k0_ref.shape[-1]
+    stencil, in_img = _make_stencil(h, w, hw, hw_pad)
+
+    k = k0_ref[:]
+    dkw = jnp.zeros_like(k)
+    dkb = jnp.zeros_like(k)
+    for layer in range(depth):
+        sk = stencil(k)
+        u = w2 * sk + b2                                  # Conv 3x3 SAME
+        duw = w2 * stencil(dkw) + (2.0 * ws) * sk
+        dub = w2 * stencil(dkb) + 2.0 * bs
+        v1 = v1_ref[layer + 1, :, :][:, None, :]
+        v2 = v2_ref[layer + 1, :, :][None, :, :]
+        t, tk, tv1, tv2 = partials(u, v1, v2)
+        dkw = (tk * duw
+               + tv1 * dv1_ref[0, layer + 1, :, :][:, None, :]
+               + tv2 * dv2_ref[0, layer + 1, :, :][None, :, :])
+        dkb = (tk * dub
+               + tv1 * dv1_ref[1, layer + 1, :, :][:, None, :]
+               + tv2 * dv2_ref[1, layer + 1, :, :][None, :, :])
+        k = t
+    # Flatten (spatial mean over true HW lanes) + final Dense, per output.
+    def flat(z, s):
+        r = (s / hw) * jnp.sum(jnp.where(in_img, z, 0.0), axis=2)
+        return r[:, :, None] if out3d else r
+
+    out_ref[:] = flat(k, last2)
+    dw_ref[:] = flat(dkw, last2)
+    db_ref[:] = flat(dkb, last2)
+    dl_ref[:] = flat(k, 2.0 * ls)
+
+
+def _conv_var_stack_with_tangents(x, depth, act, w_std, b_std):
+    """(v, dv/dw_std, dv/db_std) for the matched-pixel variance maps, via
+    forward-mode AD of the O(N HW depth) recursion."""
+    v, dv_w = jax.jvp(
+        lambda ww: _conv_var_stack(x, depth, act, ww, b_std),
+        (w_std,), (jnp.ones_like(w_std),))
+    _, dv_b = jax.jvp(
+        lambda bb: _conv_var_stack(x, depth, act, w_std, bb),
+        (b_std,), (jnp.ones_like(b_std),))
+    return v, jnp.stack([dv_w, dv_b])
+
+
+def _cnn_gram_grads(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    """Fused primal + the three scalar tangent Grams for the CNN recursion."""
+    n1, h, w, c = x1.shape
+    n2 = x2.shape[0]
+    t1, t2 = tile
+    p1 = (-n1) % t1
+    p2 = (-n2) % t2
+    x1p = jnp.pad(x1.astype(jnp.float32), ((0, p1), (0, 0), (0, 0), (0, 0)))
+    x2p = jnp.pad(x2.astype(jnp.float32), ((0, p2), (0, 0), (0, 0), (0, 0)))
+
+    hw = h * w
+    lane_pad = (-hw) % 128
+    m1, m2 = n1 + p1, n2 + p2
+    k0 = jnp.einsum("ihwc,jhwc->ijhw", x1p, x2p).reshape(m1, m2, hw) / c
+    k0 = jnp.pad(k0, ((0, 0), (0, 0), (0, lane_pad)))
+
+    w_std = jnp.asarray(w_std, jnp.float32)
+    b_std = jnp.asarray(b_std, jnp.float32)
+    last_w_std = jnp.asarray(last_w_std, jnp.float32)
+
+    def prep(v):
+        v = v.reshape(v.shape[:-3] + (-1, hw))
+        return jnp.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, lane_pad),))
+
+    v1s, dv1s = _conv_var_stack_with_tangents(x1p, depth, act, w_std, b_std)
+    v2s, dv2s = _conv_var_stack_with_tangents(x2p, depth, act, w_std, b_std)
+    v1s, dv1s, v2s, dv2s = prep(v1s), prep(dv1s), prep(v2s), prep(dv2s)
+
+    scales = jnp.stack([w_std ** 2, b_std ** 2, last_w_std ** 2,
+                        w_std, b_std, last_w_std])
+
+    rows = depth + 1
+    grid = (m1 // t1, m2 // t2)
+    narrow = t2 < 128
+    kernel = functools.partial(_grad_kernel, depth=depth, act=act, h=h, w=w,
+                               out3d=narrow)
+    shp = jax.ShapeDtypeStruct((m1, m2, 1) if narrow else (m1, m2),
+                               jnp.float32)
+    spec = (pl.BlockSpec((t1, t2, 1), lambda i, j, *_: (i, j, 0)) if narrow
+            else pl.BlockSpec((t1, t2), lambda i, j, *_: (i, j)))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(shp, shp, shp, shp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((t1, t2, k0.shape[-1]), lambda i, j, *_: (i, j, 0)),
+                pl.BlockSpec((rows, t1, k0.shape[-1]), lambda i, j, *_: (0, i, 0)),
+                pl.BlockSpec((rows, t2, k0.shape[-1]), lambda i, j, *_: (0, j, 0)),
+                pl.BlockSpec((2, rows, t1, k0.shape[-1]),
+                             lambda i, j, *_: (0, 0, i, 0)),
+                pl.BlockSpec((2, rows, t2, k0.shape[-1]),
+                             lambda i, j, *_: (0, 0, j, 0)),
+            ],
+            out_specs=(spec, spec, spec, spec),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * (9 + 10) * depth * m1 * m2 * hw,
+            bytes_accessed=(m1 * m2 * hw + 4 * m1 * m2) * 4,
+            transcendentals=2 * depth * m1 * m2 * hw,
+        ),
+        interpret=INTERPRET,
+    )(scales, k0, v1s, v2s, dv1s, dv2s)
+    outs = tuple((o[..., 0] if narrow else o)[:n1, :n2] for o in outs)
+    return outs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _cnn_gram_scalar(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    """Fused conv Gram whose backward differentiates ONLY the scale scalars
+    (ML-II contract: x1/x2 are data, cotangents zero)."""
+    return _cnn_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std)
+
+
+def _cnn_gram_scalar_fwd(depth, act, tile, x1, x2, w_std, b_std, last_w_std):
+    out = _cnn_gram(depth, act, tile, x1, x2, w_std, b_std, last_w_std)
+    return out, (x1, x2, w_std, b_std, last_w_std)
+
+
+def _cnn_gram_scalar_bwd(depth, act, tile, res, g):
+    x1, x2, w_std, b_std, last_w_std = res
+    grad_tile = _auto_tile(x1.shape[1] * x1.shape[2], depth, n_states=3)
+    _, dkw, dkb, dkl = _cnn_gram_grads(depth, act, grad_tile, x1, x2,
+                                       w_std, b_std, last_w_std)
+    return (jnp.zeros_like(x1), jnp.zeros_like(x2),
+            jnp.sum(g * dkw), jnp.sum(g * dkb), jnp.sum(g * dkl))
+
+
+_cnn_gram_scalar.defvjp(_cnn_gram_scalar_fwd, _cnn_gram_scalar_bwd)
+
+
 def _reference_cnn(x1, x2, depth, act, w_std, b_std, last_w_std):
     # Build from the layer combinators directly: get_cnn_kernel would
     # auto-dispatch back into cnn_gram on TPU and the custom VJP would
@@ -211,7 +383,7 @@ def _cnn_gram_bwd(depth, act, tile, res, g):
 _cnn_gram.defvjp(_cnn_gram_fwd, _cnn_gram_bwd)
 
 
-def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
+def _auto_tile(hw: int, depth: int, n_states: int = 1) -> Tuple[int, int]:
     """Tile sized so the kernel's *scoped* VMEM fits.
 
     Mosaic's scoped-vmem stack holds ~7 live copies of the k block through the
@@ -221,9 +393,13 @@ def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
 
     hw <= 256: wide layout (t1, 128) — t1 in [8, 16].
     hw > 256: narrow layout (t1, 8) with the 3-D output trick (see
-    _cnn_gram_pallas); t1 sized to the same budget, e.g. 32x32 -> (24, 8)."""
+    _cnn_gram_pallas); t1 sized to the same budget, e.g. 32x32 -> (24, 8).
+
+    ``n_states``: live recursion states per tile — 1 for the forward, 3 for
+    the augmented scalar-tangent kernel (k, dk/dw, dk/db); the budget is
+    split accordingly."""
     hw_pad = -(-hw // 128) * 128
-    block_budget = int(1.5 * 1024 * 1024)
+    block_budget = int(1.5 * 1024 * 1024) // n_states
     if hw <= 256:
         t1 = block_budget // (4 * 128 * hw_pad) // 8 * 8
         return (max(8, min(256, t1)), 128)
@@ -232,18 +408,24 @@ def _auto_tile(hw: int, depth: int) -> Tuple[int, int]:
 
 
 def cnn_gram(x1: jax.Array, x2: jax.Array, *, depth: int, act: str = "relu",
-             w_std, b_std, last_w_std,
-             tile: Tuple[int, int] = None) -> jax.Array:
+             w_std, b_std, last_w_std, tile: Tuple[int, int] = None,
+             trainable_inputs: bool = True) -> jax.Array:
     """Fused CNN-NNGP Gram — drop-in for
     ``arch.get_cnn_kernel(depth, ...)(x1, x2, get="nngp")`` (stride-1 SAME).
 
     Default tiling is sized from the image resolution so the per-program
-    VMEM working set fits (28x28 images -> (8, 128) tiles; 8x8 -> (256, 128))."""
+    VMEM working set fits (28x28 images -> (8, 128) tiles; 8x8 -> (256, 128)).
+
+    ``trainable_inputs=False`` switches the backward to the fused
+    forward-mode scalar-tangent kernel (ML-II trains only the three scale
+    scalars; x1/x2 cotangents are zero by contract) — see
+    ``snngp.ops.pallas.gram.mlp_gram``."""
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
     if tile is None:
         tile = _auto_tile(x1.shape[1] * x1.shape[2], depth)
-    return _cnn_gram(depth, act, tuple(tile), x1, x2,
-                     jnp.asarray(w_std, jnp.float32),
-                     jnp.asarray(b_std, jnp.float32),
-                     jnp.asarray(last_w_std, jnp.float32))
+    fn = _cnn_gram if trainable_inputs else _cnn_gram_scalar
+    return fn(depth, act, tuple(tile), x1, x2,
+              jnp.asarray(w_std, jnp.float32),
+              jnp.asarray(b_std, jnp.float32),
+              jnp.asarray(last_w_std, jnp.float32))

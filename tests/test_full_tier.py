@@ -39,6 +39,7 @@ def test_full_tier_strided_conv_matches_diag_tier():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pooled_kernel_matches_finite_width_mc():
     """GAP readout needs cross-pixel covariance — the full tier's reason to
     exist. Validate against a finite-width MC ensemble."""
@@ -63,6 +64,7 @@ def test_pooled_kernel_matches_finite_width_mc():
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.05)
 
 
+@pytest.mark.slow
 def test_avg_pool_f_matches_finite_width_mc():
     x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 1))
     w = 1.0
@@ -170,6 +172,7 @@ def test_layer_dsl_composes_with_full_tier():
     np.testing.assert_allclose(np.asarray(tm), np.asarray(tf), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_avgpool_layer_finite_width():
     """L.AvgPool finite apply is the exact window mean; cheap-tier kfn raises."""
     x = jax.random.normal(jax.random.PRNGKey(42), (2, 4, 4, 3), jnp.float32)

@@ -54,8 +54,12 @@ def test_myrtle_gram_symmetric_and_padding():
 
 
 @pytest.mark.slow
-def test_myrtle_gram_16x16_two_strips():
-    """16x16 exercises the multi-strip stage-1 path (2 strips of 128 rows)."""
+def test_myrtle_gram_16x16_two_strips(monkeypatch):
+    """Force _STRIP_ROWS=128 so a 16x16 image (hw=256) runs stage 1 as TWO
+    strips — covering the strip-mined halo/trim/concat path that otherwise
+    only executes compiled at 32x32 on TPU (_STRIP_ROWS is read at trace
+    time, so the monkeypatch takes effect)."""
+    monkeypatch.setattr(mg, "_STRIP_ROWS", 128)
     x1, x2 = _data(8, 128, 16, seed=1)
     got = mg.myrtle_gram(x1, x2, depth=5, act="relu",
                          w_std=1.1, b_std=0.15, last_w_std=0.9)

@@ -22,6 +22,7 @@ def mc_kernel(layer, x, n_samples, key=0):
 
 
 @pytest.mark.parametrize("act", ["relu", "erf"])
+@pytest.mark.slow
 def test_mlp_kernel_matches_finite_width_mc(act):
     x = jax.random.normal(jax.random.PRNGKey(0), (5, 6))
     kfn = arch.get_mlp_kernel(2, 1, act, w_std=1.2, b_std=0.3, last_w_std=0.8)
@@ -32,6 +33,7 @@ def test_mlp_kernel_matches_finite_width_mc(act):
 
 
 @pytest.mark.parametrize("act", ["relu", "erf"])
+@pytest.mark.slow
 def test_cnn_kernel_matches_finite_width_mc(act):
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 5, 2))
     kfn = arch.get_cnn_kernel(2, 1, act, w_std=1.1, b_std=0.2, last_w_std=1.0)
@@ -41,6 +43,7 @@ def test_cnn_kernel_matches_finite_width_mc(act):
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.08)
 
 
+@pytest.mark.slow
 def test_dense_resnet_kernel_matches_finite_width_mc():
     x = jax.random.normal(jax.random.PRNGKey(2), (4, 6))
     kfn = arch.get_dense_resnet_kernel(2, 1, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
@@ -125,6 +128,7 @@ def test_gradients_finite_at_gram_diagonal():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_ntk_recursion_matches_finite_width_mc():
     # Empirical NTK of finite nets, averaged over inits, -> analytic NTK.
     x = jax.random.normal(jax.random.PRNGKey(8), (3, 4))
@@ -152,6 +156,7 @@ def test_input_state_matches_raw_second_moment():
     np.testing.assert_allclose(np.asarray(st.var1), np.diag(np.asarray(st.nngp)), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_cnn_ntk_matches_finite_width_mc():
     x = jax.random.normal(jax.random.PRNGKey(11), (3, 4, 4, 1))
     kfn = arch.get_cnn_kernel(1, 1, "relu", w_std=1.0, b_std=0.3, last_w_std=1.0)

@@ -230,3 +230,105 @@ def test_fused_strided_mismatch_block():
                                            atol=1e-5)
     finally:
         RG.INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# Scalar-only gradient path (ML-II): fused forward-mode tangent kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("act", ["relu", "erf"])
+@pytest.mark.parametrize("mode", ["mlp", "resnet"])
+def test_scalar_tangent_grads_match_reference(act, mode):
+    """trainable_inputs=False backward (fused tangent kernel) == reference-
+    tier AD on the three scale scalars at 1e-5 (VERDICT r2 Next #2)."""
+    x1 = jax.random.normal(jax.random.PRNGKey(11), (140, 6))
+    x2 = jax.random.normal(jax.random.PRNGKey(12), (130, 6))
+    gram = G.mlp_gram if mode == "mlp" else G.resnet_gram
+    cot = jax.random.normal(jax.random.PRNGKey(13), (140, 130))
+
+    def f_scalar(w, b, l):
+        return jnp.sum(cot * gram(x1, x2, depth=2, act=act, w_std=w, b_std=b,
+                                  last_w_std=l, tile=(128, 128),
+                                  trainable_inputs=False))
+
+    def f_ref(w, b, l):
+        from snngp.ops.pallas.gram import _reference_recursion
+        return jnp.sum(cot * _reference_recursion(x1, x2, 2, act, w, b, l,
+                                                  mode=mode))
+
+    gp = jax.grad(f_scalar, argnums=(0, 1, 2))(1.2, 0.3, 0.9)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(1.2, 0.3, 0.9)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_scalar_tangent_grads_include_gram_diagonal():
+    """Symmetric Gram (x2 = x1): the diagonal hits the c = 1 guard in the
+    analytic partials; grads must stay finite and match the reference tier
+    (whose _relu_t carries the same analytic JVP)."""
+    x = jax.random.normal(jax.random.PRNGKey(14), (130, 5))
+
+    def f_scalar(w, b, l):
+        return jnp.sum(G.mlp_gram(x, x, depth=3, act="relu", w_std=w, b_std=b,
+                                  last_w_std=l, tile=(128, 128),
+                                  trainable_inputs=False))
+
+    def f_ref(w, b, l):
+        from snngp.ops.pallas.gram import _reference_recursion
+        return jnp.sum(_reference_recursion(x, x, 3, "relu", w, b, l))
+
+    gp = jax.grad(f_scalar, argnums=(0, 1, 2))(1.1, 0.25, 1.0)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(1.1, 0.25, 1.0)
+    for a, b in zip(gp, gr):
+        assert np.isfinite(float(a))
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+
+def test_scalar_tangent_value_and_grad_composition():
+    """value_and_grad through a marginal-likelihood-shaped loss (Gram +
+    Cholesky + quadratic form) — the actual ML-II step composition."""
+    x = jax.random.normal(jax.random.PRNGKey(15), (140, 6))
+    y = jax.random.normal(jax.random.PRNGKey(16), (140,))
+
+    def nll(w, fused):
+        if fused:
+            K = G.mlp_gram(x, x, depth=2, act="relu", w_std=w, b_std=0.3,
+                           last_w_std=1.0, tile=(128, 128),
+                           trainable_inputs=False)
+        else:
+            from snngp.ops.pallas.gram import _reference_recursion
+            K = _reference_recursion(x, x, 2, "relu", w, 0.3, 1.0)
+        L = jnp.linalg.cholesky(K + 1e-2 * jnp.eye(140))
+        a = jax.scipy.linalg.solve_triangular(L, y, lower=True)
+        return jnp.sum(a * a) + 2.0 * jnp.sum(jnp.log(jnp.diag(L)))
+
+    vf, gf = jax.value_and_grad(lambda w: nll(w, True))(1.3)
+    vr, gr = jax.value_and_grad(lambda w: nll(w, False))(1.3)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    np.testing.assert_allclose(float(gf), float(gr), rtol=1e-4)
+
+
+def test_cnn_scalar_tangent_grads_match_reference():
+    """Conv scalar-tangent backward (trainable_inputs=False) == reference
+    tier at 1e-5, including the padding paths (non-multiple N, hw)."""
+    import snngp.ops.pallas.conv_gram as CG
+    CG.INTERPRET = True
+    try:
+        x1 = jax.random.normal(jax.random.PRNGKey(20), (10, 5, 5, 2))
+        x2 = jax.random.normal(jax.random.PRNGKey(21), (9, 5, 5, 2))
+        cot = jax.random.normal(jax.random.PRNGKey(22), (10, 9))
+
+        def f_s(w, b, l):
+            return jnp.sum(cot * CG.cnn_gram(
+                x1, x2, depth=2, act="relu", w_std=w, b_std=b, last_w_std=l,
+                tile=(8, 8), trainable_inputs=False))
+
+        def f_r(w, b, l):
+            return jnp.sum(cot * CG._reference_cnn(x1, x2, 2, "relu", w, b, l))
+
+        gp = jax.grad(f_s, argnums=(0, 1, 2))(1.1, 0.2, 0.9)
+        gr = jax.grad(f_r, argnums=(0, 1, 2))(1.1, 0.2, 0.9)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+    finally:
+        CG.INTERPRET = False

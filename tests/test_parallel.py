@@ -259,3 +259,29 @@ def test_spr_loss_on_mesh_matches_single_device():
     g2 = jax.grad(dist.loss)(p)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-5)
+
+
+def test_spr_mesh_pads_non_divisible_n():
+    """N=61 on an 8-device mesh: the sharded Gram pads rows to the mesh
+    multiple and slices back (no silent unsharded fallback), matching the
+    single-device loss."""
+    from snngp.models import SPR, NNGPKernel, StudentTLikelihood
+    rng = np.random.RandomState(12)
+    x = rng.randn(61, 4).astype(np.float32)
+    y = rng.randn(61).astype(np.float32)
+
+    def get_kernel_fn(w, b, l):
+        return arch.get_mlp_kernel(2, act="relu", w_std=w, b_std=b, last_w_std=l)
+
+    def build(mesh):
+        kernel = NNGPKernel(get_kernel_fn, 1.0, 0.5, 1.0)
+        lik = StudentTLikelihood(2.0, 2.0)
+        return SPR(kernel, lik, x, y, jnp.array(0.0), jnp.array(1.0),
+                   eps=1e-3, mesh=mesh, chol_block=16)
+
+    single = build(None)
+    dist = build(get_mesh(8))
+    p = single.init_params()
+    l1 = float(jax.jit(single.loss)(p))
+    l2 = float(jax.jit(dist.loss)(p))
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
