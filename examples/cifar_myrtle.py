@@ -119,10 +119,6 @@ def main():
     ap.add_argument("--fused-block", type=int, default=512,
                     help="fixed dispatch block for the fused assembly")
     args = ap.parse_args()
-    if args.bf16 and args.eps < 1e-2:
-        # bf16 Gram entries carry ~1e-2 relative noise; the solve needs a
-        # matching regularizer to stay PSD.
-        args.eps = 1e-2
 
     x, y = load_images(args.n_train + args.n_test, args.image_size, seed=0)
     x_train, x_test = x[:args.n_train], x[args.n_train:]
@@ -144,6 +140,25 @@ def main():
     fused = (args.fused == "on"
              or (args.fused == "auto" and jax.default_backend() == "tpu"
                  and args.image_size == 32))
+    # --bf16 + fused: measured on v5e (RESULTS.md round 3) the bf16 pair
+    # state gives ZERO speedup (packed-bf16 VPU ops run at fp32 rate) and
+    # Mosaic rejects bf16 rolls in compiled mode — so on TPU the fused path
+    # stays fp32 and --bf16 only applies to the XLA tier. Interpret mode
+    # (CPU tests) honors the bf16 request for numerics validation.
+    fused_dtype = None
+    if args.bf16 and fused:
+        if jax.default_backend() == "tpu":
+            print("[cifar_myrtle] --bf16 ignored on the fused TPU path "
+                  "(no VPU win on v5e, see RESULTS.md); Gram stays fp32, "
+                  "keeping the fp32-sized eps.")
+        else:
+            fused_dtype = "bf16"
+    # bf16 Gram entries carry ~1e-2 relative noise; the solve needs a
+    # matching regularizer to stay PSD. Only when bf16 actually applies —
+    # the fp32 fused path keeps the user's eps (ADVICE r2).
+    bf16_effective = args.bf16 and (not fused or fused_dtype == "bf16")
+    if bf16_effective and args.eps < 1e-2:
+        args.eps = 1e-2
     if fused and mesh is not None:
         # Row panels of the fused kernel over the mesh (zero traffic until
         # the solve; tests/test_myrtle_pallas.py validates on the CPU mesh).
@@ -152,14 +167,15 @@ def main():
         def gram(a, b, symmetric):
             return jnp.asarray(myrtle_gram_sharded(
                 a, None if symmetric else b, mesh, depth=args.depth,
-                act="relu", **hyper))
+                act="relu", dtype=fused_dtype, **hyper))
     elif fused:
         from snngp.ops.pallas.myrtle_gram import myrtle_gram_tiled
 
         def gram(a, b, symmetric):
             return jnp.asarray(myrtle_gram_tiled(
                 a, None if symmetric else b, depth=args.depth, act="relu",
-                block=args.fused_block, log=print, **hyper))
+                block=args.fused_block, log=print, dtype=fused_dtype,
+                **hyper))
     else:
         def gram(a, b, symmetric):
             return tiled_gram(kfn, a, b, args.tile,
@@ -186,7 +202,7 @@ def main():
         d = df + chol_quad_form(chol, y_train)
         cond_df = df + args.n_train
         t_cov = (d / cond_df) * (args.beta / args.alpha) * cov
-        t_jit = 1e-4 + (1e-2 if args.bf16 else 0.0)
+        t_jit = 1e-4 + (1e-2 if bf16_effective else 0.0)
         nll = -jnp.mean(multivariate_t_logpdf(
             (y[args.n_train:] - y_mean) / y_std,
             mean, add_jitter(t_cov, t_jit), cond_df))

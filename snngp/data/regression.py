@@ -73,12 +73,25 @@ def _download_url(url: str, filepath: str) -> None:
             raise
 
 
-def _download_dataset(name: str, root: str) -> None:
+def _download_dataset(name: str, root: str, needs: str = None) -> None:
+    """Fetch ``name``'s registry files unless ``needs`` (the repo-relative
+    file the loader actually reads — e.g. a zip's extracted member, or a
+    local CSV conversion of an Excel original) already exists."""
     root = os.path.expanduser(root)
+    if needs is not None:
+        target = os.path.join(root, needs)
+        if (os.path.exists(target) or os.path.exists(target + ".csv")
+                or os.path.exists(os.path.splitext(target)[0] + ".csv")):
+            return
     path = os.path.join(root, name)
     os.makedirs(path, exist_ok=True)
     for filename, url in DATASET_URLS[name].items():
         filepath = os.path.join(path, filename)
+        # A local CSV conversion next to an Excel original satisfies the
+        # loader (_read_excel_or_csv) — don't force a download over it.
+        if any(os.path.isfile(c) for c in
+               (filepath + ".csv", os.path.splitext(filepath)[0] + ".csv")):
+            continue
         if not os.path.isfile(filepath):
             try:
                 _download_url(url, filepath)
@@ -146,6 +159,24 @@ def _load_boston(root: str = "./data"):
         "(original UCI or StatLib layout both parse)")
 
 
+def _read_excel_or_csv(path: str):
+    """``pd.read_excel`` with a CSV fallback: environments without an Excel
+    engine (xlrd/openpyxl are not in this image) can place a one-time CSV
+    conversion next to the original (same name, ``.csv`` suffix appended or
+    extension swapped) and the loader slices identical columns."""
+    import pandas as pd
+    for cand in (path + ".csv", os.path.splitext(path)[0] + ".csv"):
+        if not os.path.exists(path) and os.path.exists(cand):
+            return pd.read_csv(cand)
+    try:
+        return pd.read_excel(path)
+    except ImportError:
+        for cand in (path + ".csv", os.path.splitext(path)[0] + ".csv"):
+            if os.path.exists(cand):
+                return pd.read_csv(cand)
+        raise
+
+
 def get_dataset(name: str, root: str = "./data"):
     import pandas as pd
 
@@ -153,51 +184,51 @@ def get_dataset(name: str, root: str = "./data"):
         x, y = _load_boston(root)
 
     elif name == "concrete":
-        _download_dataset(name, root)
-        data = pd.read_excel(os.path.join(root, "concrete/Concrete_Data.xls")).to_numpy()
+        _download_dataset(name, root, needs="concrete/Concrete_Data.xls")
+        data = _read_excel_or_csv(os.path.join(root, "concrete/Concrete_Data.xls")).to_numpy()
         x, y = data[:, :8], data[:, 8]
 
     elif name == "energy":
-        _download_dataset(name, root)
-        data = pd.read_excel(os.path.join(root, "energy/ENB2012_data.xlsx")).to_numpy()
+        _download_dataset(name, root, needs="energy/ENB2012_data.xlsx")
+        data = _read_excel_or_csv(os.path.join(root, "energy/ENB2012_data.xlsx")).to_numpy()
         x, y = data[:, :8], data[:, 8]
 
     elif name == "kin8nm":
-        _download_dataset(name, root)
+        _download_dataset(name, root, needs="kin8nm/dataset_2175_kin8nm.csv")
         data = pd.read_csv(os.path.join(root, "kin8nm/dataset_2175_kin8nm.csv")).to_numpy()
         x, y = data[:, :8], data[:, 8]
 
     elif name == "naval":
-        _download_dataset(name, root)
+        _download_dataset(name, root, needs="naval/UCI CBM Dataset/data.txt")
         data = pd.read_table(os.path.join(root, "naval/UCI CBM Dataset/data.txt"),
                              sep=r"\s+").to_numpy()
         x, y = data[:, :16], data[:, 16]
 
     elif name == "plant":
-        _download_dataset(name, root)
-        data = pd.read_excel(os.path.join(root, "plant/CCPP/Folds5x2_pp.xlsx")).to_numpy()
+        _download_dataset(name, root, needs="plant/CCPP/Folds5x2_pp.xlsx")
+        data = _read_excel_or_csv(os.path.join(root, "plant/CCPP/Folds5x2_pp.xlsx")).to_numpy()
         x, y = data[:, :4], data[:, 4]
 
     elif name in ("wine-red", "wine-white"):
-        _download_dataset("wine", root)
+        _download_dataset("wine", root, needs="wine/winequality-red.csv" if name == "wine-red" else "wine/winequality-white.csv")
         fname = "winequality-red.csv" if name == "wine-red" else "winequality-white.csv"
         data = pd.read_csv(os.path.join(root, "wine", fname), delimiter=";").to_numpy()
         x, y = data[:, :11], data[:, 11]
 
     elif name == "yacht":
-        _download_dataset(name, root)
+        _download_dataset(name, root, needs="yacht/yacht_hydrodynamics.data")
         data = pd.read_table(os.path.join(root, "yacht/yacht_hydrodynamics.data"),
                              sep=r"\s+").to_numpy()
         x, y = data[:, :6], data[:, 6]
 
     elif name == "airfoil":
-        _download_dataset(name, root)
+        _download_dataset(name, root, needs="airfoil/airfoil_self_noise.dat")
         data = pd.read_table(os.path.join(root, "airfoil/airfoil_self_noise.dat"),
                              sep=r"\s+", header=None).to_numpy()
         x, y = data[:, :5], data[:, 5]
 
     elif name == "sic97":
-        _download_dataset(name, root)
+        _download_dataset(name, root, needs="sic97/sic_full.dat")
         data = pd.read_table(os.path.join(root, "sic97/sic_full.dat"), sep=",",
                              index_col=0, skiprows=6, header=None).to_numpy()
         x, y = data[:, :2], data[:, 2]

@@ -51,12 +51,15 @@ def _acos(c):
     implement it: Abramowitz & Stegun 4.4.46 minimax polynomial,
     arccos(x) = sqrt(1-x) * P7(x) on [0, 1] (|err| <= 2e-8, below fp32 eps),
     reflected to [-1, 0) via arccos(x) = pi - arccos(-x).
+
+    Constants are weak-typed Python floats so the computation stays in the
+    input dtype (the bf16 Myrtle pair state must not silently upcast).
     """
     a = jnp.abs(c)
-    p = jnp.float32(-0.0012624911)
+    p = -0.0012624911
     for coef in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
                  0.0889789874, -0.2145988016, 1.5707963050):
-        p = p * a + jnp.float32(coef)
+        p = p * a + coef
     acos_abs = jnp.sqrt(jnp.maximum(1.0 - a, 0.0)) * p
     return jnp.where(c < 0.0, jnp.pi - acos_abs, acos_abs)
 

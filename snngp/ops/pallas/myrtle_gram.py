@@ -216,10 +216,11 @@ def _valid_lane_mask(length: int, ax: _Axis):
     return (ph % ax.stride == 0) & (pw % ax.stride == 0)
 
 
-def _halo(group0: int, w: int) -> int:
+def _halo(group0: int, w: int, align: int = 8) -> int:
     """Stage-1 strip halo: each in-group conv consumes (w + 1) flat pixel
-    rows of context; rounded to the sublane grid."""
-    return -(-(group0 * (w + 1)) // 8) * 8
+    rows of context; rounded to the sublane grid (8 for fp32 states, 16 for
+    bf16 — halo trims are sublane slices and must stay tile-aligned)."""
+    return -(-(group0 * (w + 1)) // align) * align
 
 
 _STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff; 512 exceeds the scoped-VMEM budget at 32x32)
@@ -231,12 +232,23 @@ _STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff; 
 
 def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                    out_ref, *, groups: Tuple[int, int, int], act: str, h: int,
-                   n_g3: int):
+                   n_g3: int, dtype=jnp.float32):
     w2, b2, last2 = scale_ref[0], scale_ref[1], scale_ref[2]
     t_fn = _ACT_T[act]
     hw = h * h
+    bf16 = dtype == jnp.bfloat16
+    # bf16 pair state: the elementwise recursion (stencil sums, masks,
+    # activation chain) runs in bf16 — half the VPU/VMEM footprint — while
+    # the input moment (MXU, fp32 HIGHEST), the pooling reshapes (Mosaic's
+    # bf16 sublane tile is 16, the pool tail drops below it) and the final
+    # GAP accumulation stay fp32. Gram entries carry ~1e-2 relative noise;
+    # pair with a matching solve regularizer (examples/cifar_myrtle.py
+    # --bf16).
+    if bf16:
+        w2, b2 = w2.astype(dtype), b2.astype(dtype)
+    align = 16 if bf16 else 8
     strip = min(hw, _STRIP_ROWS)    # owned pixel rows per stage-1 strip
-    halo = _halo(groups[0], h)
+    halo = _halo(groups[0], h, align)
     n_strips = hw // strip
     q1, q3 = hw // 4, hw // 64
     r2, r3 = h // 2, h // 4
@@ -245,6 +257,16 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
     ax2 = _Axis(r2, 1, 0)           # stage-2 both sides: compact (h/2) grid
     ax3_rows = _Axis(r3, 1, 0)      # stage-3 rows: compact (h/4) grid
     ax3_lane = _Axis(r2, 2, 0)      # stage-3 lanes: sparse on the (h/2) grid
+
+    def pool_rows_2x2(z, w_g):
+        """2x2 row-side pool; reshape-based, so bf16 states upcast to fp32
+        (exact: pooling is a sum) around the sub-16-sublane reshapes."""
+        if bf16:
+            return _pool_rows_2x2(z.astype(jnp.float32), w_g).astype(dtype)
+        return _pool_rows_2x2(z, w_g)
+
+    def cast_prof(v):
+        return v.astype(dtype) if bf16 else v
 
     def pair(a, b):
         """Full Myrtle recursion for one sample pair (both indices traced).
@@ -256,7 +278,7 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
         onehot_a = (lax.broadcasted_iota(jnp.int32, (_T1, 1), 0) == a
                     ).astype(jnp.float32)                   # [T1, 1]
         x2t = x2t_ref[b]                                    # [8, hw]
-        vb1_rows = [vb1[l][b][None, :] for l in range(groups[0])]
+        vb1_rows = [cast_prof(vb1[l][b][None, :]) for l in range(groups[0])]
 
         # ---- stage 1: conv group at full resolution, strip-mined rows ----
         pooled = None                                       # [q1, hw]
@@ -265,13 +287,16 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
             lhs = x1_ref[a, s * strip:s * strip + rows, :]  # [rows, 8]
             k = jnp.dot(lhs, x2t, preferred_element_type=jnp.float32,
                         precision=lax.Precision.HIGHEST)    # [rows, hw]
+            if bf16:
+                k = k.astype(dtype)
             cur = halo                                      # live halo width
             for l in range(groups[0]):
                 row_ax = _Axis(h, 1, s * strip - cur)
                 k = w2 * _conv_dual(k, row_ax, lane1) + b2
                 # trim the halo this conv consumed before the (pointwise)
                 # activation — later convs only need the remaining context
-                need = _halo(groups[0] - 1 - l, h) if groups[0] - 1 - l else 0
+                need = (_halo(groups[0] - 1 - l, h, align)
+                        if groups[0] - 1 - l else 0)
                 if cur - need:
                     k = k[cur - need:k.shape[0] - (cur - need)]
                 cur = need
@@ -279,34 +304,34 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                 va = jnp.dot(va1[l][0][lo:lo + k.shape[0], :], onehot_a,
                              preferred_element_type=jnp.float32,
                              precision=lax.Precision.HIGHEST)  # [rows', 1]
-                k = t_fn(k, va, vb1_rows[l])
-            blk = _pool_rows_2x2(k, h)                      # [strip//4, hw]
+                k = t_fn(k, cast_prof(va), vb1_rows[l])
+            blk = pool_rows_2x2(k, h)                       # [strip//4, hw]
             pooled = blk if pooled is None else jnp.concatenate([pooled, blk])
 
         # swap sides, pool the (now row-side) b pixels -> [q1, q1]
-        k = _pool_rows_2x2(pooled.T, h)
+        k = pool_rows_2x2(pooled.T, h)
 
         # ---- stage 2: compact (h/2) grid both sides (rows=b, lanes=a) ----
         for l in range(groups[1]):
             k = w2 * _conv_dual(k, ax2, ax2) + b2
-            vb = vb2[l][b][None, :].T                       # [q1, 1]
-            va = va2[l][a][None, :]                         # [1, q1]
+            vb = cast_prof(vb2[l][b][None, :].T)            # [q1, 1]
+            va = cast_prof(va2[l][a][None, :])              # [1, q1]
             k = t_fn(k, vb, va)
-        k = _pool_rows_2x2(k, r2)                           # [q1//4, q1]
+        k = pool_rows_2x2(k, r2)                            # [q1//4, q1]
         k = _pool_lanes_sparse(k, ax2)                      # lanes: stride 2
 
         # ---- stage 3: rows compact (h/4); lanes sparse on (h/2) grid ----
         for l in range(groups[2]):
             k = w2 * _conv_dual(k, ax3_rows, ax3_lane) + b2
-            vb = vb3[l][b][None, :][:, :n_g3].T             # [q1//4, 1]
-            va = va3[l][a][None, :]                         # [1, q1] sparse
+            vb = cast_prof(vb3[l][b][None, :][:, :n_g3].T)  # [q1//4, 1]
+            va = cast_prof(va3[l][a][None, :])              # [1, q1] sparse
             k = t_fn(k, vb, va)
-        k = _pool_rows_2x2(k, r3)                           # [q3, q1]
+        k = pool_rows_2x2(k, r3)                            # [q3, q1]
         k = _pool_lanes_sparse(k, ax3_lane)                 # lanes: stride 4
 
         # ---- GAP + final dense: masked mean over (h/8)^2 x (h/8)^2 ----
         valid = _valid_lane_mask(q1, _Axis(r2, 4, 0))
-        total = jnp.sum(jnp.where(valid, k, 0.0))
+        total = jnp.sum(jnp.where(valid, k.astype(jnp.float32), 0.0))
         return last2 * total / (q3 * q3)
 
     def body(i, acc):
@@ -340,8 +365,9 @@ def _reference_myrtle(x1, x2, depth, act, w_std, b_std, last_w_std):
     return kfn(x1, x2, get="nngp")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_key]
     groups = MYRTLE_GROUPS[depth]
     g0, g1, g2 = groups
     n1, h, w, c = x1.shape
@@ -349,7 +375,7 @@ def _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std):
     assert h == w and h % 8 == 0 and (h & (h - 1)) == 0, \
         "square pow2 images (Myrtle pools to h/8)"
     hw = h * w
-    halo = _halo(g0, h)
+    halo = _halo(g0, h, 16 if dtype == jnp.bfloat16 else 8)
     p1 = (-n1) % _T1
     p2 = (-n2) % _T2
     x1p = jnp.pad(x1.astype(jnp.float32), ((0, p1),) + ((0, 0),) * 3)
@@ -420,7 +446,7 @@ def _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std):
         (out_ref,) = refs
         _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1_r, vb1_r, va2_r, vb2_r,
                        va3_r, vb3_r, out_ref, groups=groups, act=act, h=h,
-                       n_g3=n_g3)
+                       n_g3=n_g3, dtype=dtype)
 
     out = pl.pallas_call(
         kernel_entry,
@@ -441,12 +467,17 @@ def _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std):
     return out[:n1, :n2]
 
 
-def _myrtle_fwd(depth, act, x1, x2, w_std, b_std, last_w_std):
-    out = _myrtle_gram(depth, act, x1, x2, w_std, b_std, last_w_std)
+def _myrtle_fwd(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
+    out = _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std)
     return out, (x1, x2, w_std, b_std, last_w_std)
 
 
-def _myrtle_bwd(depth, act, res, g):
+def _myrtle_bwd(depth, act, dtype_key, res, g):
+    """Reference-tier reverse recursion: correct for x1/x2 cotangents but
+    materializes the full [N1, N2, h, w, h, w] state stack in HBM — use only
+    at small N (ADVICE r2: at north-star sizes this is orders of magnitude
+    slower than the fused forward and may OOM; the north-star pipeline never
+    differentiates the Myrtle Gram)."""
     x1, x2, w_std, b_std, last_w_std = res
     _, vjp = jax.vjp(
         lambda a, b, ww, bs, l: _reference_myrtle(a, b, depth, act, ww, bs, l),
@@ -459,14 +490,32 @@ _myrtle_gram.defvjp(_myrtle_fwd, _myrtle_bwd)
 
 def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                 depth: int = 5, act: str = "relu",
-                w_std=1.0, b_std=0.0, last_w_std=1.0) -> jax.Array:
+                w_std=1.0, b_std=0.0, last_w_std=1.0,
+                dtype=None) -> jax.Array:
     """Fused Myrtle-{5,7,10} NNGP Gram — drop-in for
-    ``full.get_myrtle_kernel(depth, ...)(x1, x2, get="nngp")``."""
+    ``full.get_myrtle_kernel(depth, ...)(x1, x2, get="nngp")``.
+
+    ``dtype=jnp.bfloat16`` runs the in-VMEM pair-state recursion in bf16
+    (fp32 input moments + GAP accumulation), ~1e-2 relative Gram noise.
+    MEASURED NEGATIVE RESULT on v5e (round 3, scripts/probe_bf16_*.py):
+    Mosaic executes packed-bf16 VPU FMAs at exactly the fp32 rate (65.5 vs
+    66.0 ms for the same chain) and rejects bf16 dynamic rolls / compares /
+    rsqrt outright — so this path currently compiles only in interpret
+    mode and buys nothing on v5e hardware; it is kept for numerics
+    validation and future VPU generations with true packed-bf16 ALUs.
+
+    Gradient contract: the custom VJP recomputes through the XLA full tier —
+    affordable ONLY at small N (see ``_myrtle_bwd``). The CLI training paths
+    never differentiate Myrtle Grams; ``examples/paper_figures.py`` and
+    tests use N <= a few hundred.
+    """
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
     if x2 is None:
         x2 = x1
-    return _myrtle_gram(depth, act, x1, x2,
+    dtype_key = ("bfloat16" if dtype in (jnp.bfloat16, "bfloat16", "bf16")
+                 else "float32")
+    return _myrtle_gram(depth, act, dtype_key, x1, x2,
                         jnp.asarray(w_std, jnp.float32),
                         jnp.asarray(b_std, jnp.float32),
                         jnp.asarray(last_w_std, jnp.float32))
@@ -474,7 +523,7 @@ def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
 
 def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,
                         depth: int = 5, act: str = "relu", w_std=1.0,
-                        b_std=0.0, last_w_std=1.0) -> jax.Array:
+                        b_std=0.0, last_w_std=1.0, dtype=None) -> jax.Array:
     """Row-panel (1D mesh) / block-2D (2D mesh) sharded fused Myrtle Gram.
 
     Each device runs the fused Pallas kernel on its shard of the image pairs
@@ -488,23 +537,24 @@ def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,
     def kfn(a, b, get="nngp"):
         assert get == "nngp"
         return myrtle_gram(a, b, depth=depth, act=act, w_std=w_std,
-                           b_std=b_std, last_w_std=last_w_std)
+                           b_std=b_std, last_w_std=last_w_std, dtype=dtype)
 
     return sharded_gram(kfn, x1, mesh, x2=x2, check_vma=False)
 
 
 @functools.lru_cache(maxsize=8)
-def _tiled_jit(depth: int, act: str):
-    """One cached jit per (depth, act): scales ride as traced arguments so
-    repeated myrtle_gram_tiled calls (and hyperparameter changes) never
-    retrace the ~2 min Mosaic compile."""
+def _tiled_jit(depth: int, act: str, dtype_key: str):
+    """One cached jit per (depth, act, dtype): scales ride as traced
+    arguments so repeated myrtle_gram_tiled calls (and hyperparameter
+    changes) never retrace the ~2 min Mosaic compile."""
     return jax.jit(lambda a, b, w, bs, l: myrtle_gram(
-        a, b, depth=depth, act=act, w_std=w, b_std=bs, last_w_std=l))
+        a, b, depth=depth, act=act, w_std=w, b_std=bs, last_w_std=l,
+        dtype=dtype_key))
 
 
 def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                       depth: int = 5, act: str = "relu", w_std=1.0, b_std=0.0,
-                      last_w_std=1.0, block: int = 512, log=None):
+                      last_w_std=1.0, block: int = 512, log=None, dtype=None):
     """Assemble an arbitrarily large Myrtle Gram from fixed-shape
     [block, block] fused-kernel dispatches.
 
@@ -519,7 +569,9 @@ def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
     x2e = x1 if symmetric else x2
     n1, n2 = x1.shape[0], x2e.shape[0]
 
-    jfn = _tiled_jit(depth, act)
+    dtype_key = ("bfloat16" if dtype in (jnp.bfloat16, "bfloat16", "bf16")
+                 else "float32")
+    jfn = _tiled_jit(depth, act, dtype_key)
     fn = lambda a, b: jfn(a, b, jnp.asarray(w_std, jnp.float32),
                           jnp.asarray(b_std, jnp.float32),
                           jnp.asarray(last_w_std, jnp.float32))

@@ -143,6 +143,7 @@ def test_find_both_samplers(tmp_path):
         assert "(1.0, 0.3" in log  # argmin tuples reported
 
 
+@pytest.mark.slow
 def test_classification_two_lr_split(tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
     _run_cli([
@@ -171,6 +172,7 @@ def test_regression_resume(tmp_path):
     assert "Traceback" not in log2
 
 
+@pytest.mark.slow
 def test_classification_resume(tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
     common = ["cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
@@ -197,6 +199,7 @@ def test_classification_conv_resnet(tmp_path):
     assert "nELBO" in log and "Traceback" not in log
 
 
+@pytest.mark.slow
 def test_classification_scan_epoch_matches_loop(tmp_path):
     """--scan-epoch runs identical math (incl. PRNG sequence) to the loop."""
     import numpy as np
@@ -218,6 +221,7 @@ def test_classification_scan_epoch_matches_loop(tmp_path):
                                    rtol=1e-4, atol=1e-6, err_msg=name)
 
 
+@pytest.mark.slow
 def test_classification_mesh_batch_sharding(tmp_path, monkeypatch):
     """cls train with SNNGP_MESH_DEVICES: batch-sharded ELBO on the CPU mesh."""
     monkeypatch.setenv("SNNGP_MESH_DEVICES", "8")

@@ -97,6 +97,7 @@ def test_myrtle_kernel_runs_and_is_psd():
     assert np.linalg.eigvalsh(np.asarray(K)).min() > -1e-5
 
 
+@pytest.mark.slow
 def test_myrtle_sharded_gram_matches_dense():
     """Full-tier kernel_fn composes with the row-sharded Gram builder
     (pure jnp ops shard cleanly under shard_map)."""
@@ -110,6 +111,7 @@ def test_myrtle_sharded_gram_matches_dense():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_myrtle_bf16_state_close_to_fp32():
     """bf16 full-covariance state (the Myrtle memory knob) tracks fp32 to
     bf16 precision; GAP accumulates in fp32."""
@@ -122,6 +124,7 @@ def test_myrtle_bf16_state_close_to_fp32():
                                rtol=3e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_scan_tiled_gram_matches_monolithic():
     """Chunked lax.scan tile assembly (symmetric + cross + remat) equals the
     one-shot full-tier Gram."""

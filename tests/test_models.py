@@ -1,6 +1,7 @@
 """Model-layer tests: bijectors, priors/KL formulas vs dense references,
 likelihood formulas, SPR/SVSP losses against hand-computed dense math."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -227,6 +228,7 @@ def _toy_svsp(method="svgp"):
     return SVSP(prior, kernel, z, num_latent_gps=C, eps=1e-4)
 
 
+@pytest.mark.slow
 def test_svsp_loss_and_test_path():
     rng = np.random.RandomState(8)
     x = rng.randn(9, 4).astype(np.float32)

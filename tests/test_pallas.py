@@ -128,6 +128,7 @@ def test_fused_cnn_gram_gradients():
         CG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_conv_resnet_gram_matches_reference_tier():
     import snngp.ops.pallas.resnet_conv_gram as RG
     RG.INTERPRET = True
@@ -148,6 +149,7 @@ def test_fused_conv_resnet_gram_matches_reference_tier():
         RG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_conv_resnet_gram_gradients():
     import snngp.ops.pallas.resnet_conv_gram as RG
     RG.INTERPRET = True
@@ -190,6 +192,7 @@ def test_fused_cnn_gram_narrow_layout_32x32():
         CG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_conv_resnet_gram_32x32():
     """Full WRN pipeline with hw = 1024 tail blocks through the narrow tiles."""
     import snngp.ops.pallas.conv_gram as CG
@@ -208,6 +211,7 @@ def test_fused_conv_resnet_gram_32x32():
         RG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_strided_mismatch_block():
     """Stride-2 group-boundary block fused at full resolution (dilated
     stencil + parity-lattice subsample) matches the XLA block on even, odd,

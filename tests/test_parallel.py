@@ -1,6 +1,7 @@
 """Distributed tests on the emulated 8-device CPU mesh: sharded Gram and
 blocked/distributed Cholesky equal their single-device references."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,6 +39,7 @@ def test_distributed_cholesky_on_mesh():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cyclic_cholesky_matches_lapack():
     from snngp.parallel.cholesky import cyclic_cholesky
     mesh = get_mesh(8)
@@ -47,6 +49,7 @@ def test_cyclic_cholesky_matches_lapack():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cyclic_cholesky_padding_and_strategy():
     from snngp.parallel.cholesky import cyclic_cholesky
     mesh = get_mesh(8)
@@ -57,6 +60,7 @@ def test_cyclic_cholesky_padding_and_strategy():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_cyclic_cholesky_size_block_fuzz():
     """Odd sizes and block choices: padding + cyclic deal stay exact."""
     from snngp.parallel.cholesky import cyclic_cholesky
@@ -233,6 +237,7 @@ def test_svsp_chol_fn_parity():
     assert int(c0) == int(c1)
 
 
+@pytest.mark.slow
 def test_spr_loss_on_mesh_matches_single_device():
     """SPR with mesh: sharded Gram + blocked Cholesky == monolithic loss."""
     from snngp.models import SPR, NNGPKernel, StudentTLikelihood
