@@ -56,6 +56,36 @@ def _rel_err(a, b):
     return float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
 
 
+def _device_time(build, x, iters=8):
+    """Device-only seconds per evaluation of ``build(x) -> scalar``.
+
+    The remote-device tunnel adds ~27 ms of fixed dispatch+fetch latency to
+    every wall-clock timing (RESULTS.md round 2), swamping kernel-level
+    progress. This amortizes it away: run the op n times inside ONE jitted
+    ``fori_loop`` (n is a traced argument — one compile) with a per-iteration
+    input perturbation defeating CSE, and report
+    (wall(n) - wall(1)) / (n - 1)."""
+    from jax import lax
+
+    @jax.jit
+    def run(x, n):
+        def body(i, acc):
+            return acc + build(x * (1.0 + 1e-6 * i))
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def wall(n):
+        float(run(x, n))                       # warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(x, n))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tn = wall(1), wall(iters)
+    return max(tn - t1, 0.0) / (iters - 1)
+
+
 def _pallas_parity():
     """On-TPU (non-interpret) fused-vs-reference parity for all four Pallas
     Gram kernels at 1e-5 relative error (VERDICT r1 weak #4). Returns the
@@ -154,6 +184,18 @@ def main():
     err = _rel_err(chol, chol_ref)
     assert err < 1e-4, f"fused/unfused mismatch: rel err {err}"
 
+    # Device-only attribution (VERDICT r2 Next #8): amortize the fixed
+    # tunnel dispatch latency out of each phase so round-over-round kernel
+    # progress is visible above the ~27 ms noise floor.
+    gram_dev = _device_time(lambda xi: jnp.sum(kernel_fn(xi, xi, get="nngp")), x)
+    chol_dev = _device_time(
+        lambda ki: jnp.sum(jnp.diagonal(jnp.linalg.cholesky(add_jitter(ki, EPS)))),
+        k10)
+    fused_dev = _device_time(
+        lambda xi: jnp.sum(jnp.diagonal(jnp.linalg.cholesky(
+            add_jitter(kernel_fn(xi, xi, get="nngp"), EPS)))), x)
+    tunnel_overhead = max(fused_s - fused_dev, 0.0)
+
     parity = None
     if (os.environ.get("SNNGP_BENCH_PARITY", "1") != "0"
             and jax.default_backend() not in ("cpu",)):
@@ -170,6 +212,12 @@ def main():
             "cholesky_xla_s": round(chol_s, 4),
             "cholesky_blocked_s": round(bchol_s, 4),
             "layerwise_total_s": round(unfused_s, 4),
+        },
+        "device_splits": {
+            "gram_dev_s": round(gram_dev, 4),
+            "cholesky_xla_dev_s": round(chol_dev, 4),
+            "fused_dev_s": round(fused_dev, 4),
+            "tunnel_overhead_s": round(tunnel_overhead, 4),
         },
     }
     if parity is not None:

@@ -114,8 +114,9 @@ def main():
                          "data sizes)")
     ap.add_argument("--fused", choices=["auto", "on", "off"], default="auto",
                     help="use the fused Pallas Myrtle kernel "
-                         "(snngp.ops.pallas.myrtle_gram; ~6.5x the XLA full "
-                         "tier at 32x32). auto = TPU backend and 32x32")
+                         "(snngp.ops.pallas.myrtle_gram; ~20x the XLA full "
+                         "tier at 32x32). auto = TPU backend and a compiled "
+                         "shape (16x16 or 32x32)")
     ap.add_argument("--fused-block", type=int, default=512,
                     help="fixed dispatch block for the fused assembly")
     args = ap.parse_args()
@@ -139,7 +140,7 @@ def main():
 
     fused = (args.fused == "on"
              or (args.fused == "auto" and jax.default_backend() == "tpu"
-                 and args.image_size == 32))
+                 and args.image_size in (16, 32)))
     # --bf16 + fused: measured on v5e (RESULTS.md round 3) the bf16 pair
     # state gives ZERO speedup (packed-bf16 VPU ops run at fp32 rate) and
     # Mosaic rejects bf16 rolls in compiled mode — so on TPU the fused path
@@ -190,9 +191,14 @@ def main():
         k_tt = prof.observe(gram(x_test, x_test, True))
 
     with prof.phase("cholesky"):
-        chol = prof.observe(jnp.linalg.cholesky(add_jitter(k_dd, args.eps)))
+        chol = prof.observe(jax.jit(
+            lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))(k_dd))
 
-    with prof.phase("predictive"):
+    # One jitted computation for the whole predictive: eager per-op dispatch
+    # costs ~1 s of tunnel latency *per op* plus a compile each, which
+    # dominated this phase at N=8192 (50.7 s in round 2).
+    @jax.jit
+    def predictive(chol, k_td, k_tt, y_train, y_test):
         from jax.scipy.linalg import cho_solve, solve_triangular
         mean = k_td @ cho_solve((chol, True), y_train)
         v = solve_triangular(chol, k_td.T, lower=True)
@@ -203,10 +209,13 @@ def main():
         cond_df = df + args.n_train
         t_cov = (d / cond_df) * (args.beta / args.alpha) * cov
         t_jit = 1e-4 + (1e-2 if bf16_effective else 0.0)
-        nll = -jnp.mean(multivariate_t_logpdf(
-            (y[args.n_train:] - y_mean) / y_std,
-            mean, add_jitter(t_cov, t_jit), cond_df))
-        nll = prof.observe(nll)
+        return -jnp.mean(multivariate_t_logpdf(
+            y_test, mean, add_jitter(t_cov, t_jit), cond_df))
+
+    with prof.phase("predictive"):
+        nll = prof.observe(predictive(
+            chol, k_td, k_tt, y_train,
+            (y[args.n_train:] - y_mean) / y_std))
 
     print(prof.report())
     total = sum(prof.totals.values())

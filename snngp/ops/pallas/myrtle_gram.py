@@ -38,8 +38,18 @@ the 4 MB ``x2^T`` block stays resident while the cheap x1-side blocks sweep.
 
 Supports Myrtle-5/7/10 (``snngp/nn/full.py:get_myrtle_kernel``; conv counts
 per pooling group (1,1,1)/(2,2,1)/(3,3,2)), relu/erf, square pow2 images.
-32x32 (the reference's CIFAR/SVHN resolution, the north-star benchmark) is
-the TPU-compiled target; 8x8/16x16 run in interpret mode for parity tests.
+Compiled shapes: 32x32 (the reference's CIFAR/SVHN resolution, the
+north-star benchmark, 33.5 us/pair) and 16x16 (tail stages lane-padded to
+the 128-lane minimum, round 3; 3.4 us/pair, parity 2.9e-7). 8x8 runs in
+interpret mode only (stage-1 lanes = hw = 64 < the 128-lane grid).
+
+28x28 (MNIST-family) is NOT a Myrtle shape at all: three 2x2 pools need
+h divisible by 8 (28 -> 14 -> 7 -> x), in this kernel, the XLA full tier
+(AvgPoolF asserts divisibility), and the reference alike — the reference
+resizes inputs to a pooling-compatible resolution first
+(classification/train.py:156-161, jax.image.resize), and the snngp CLI
+exposes the same ``--downscale`` knob. Route non-pow2 pooled workloads
+through a resize, or non-pooled kernels through ``scan_tiled_gram``.
 Differentiable w.r.t. (w_std, b_std, last_w_std) via a custom VJP through
 the reference full tier — same contract as ``conv_gram.cnn_gram``.
 """
@@ -210,10 +220,14 @@ def _pool_lanes_sparse(z, lane_ax: _Axis):
 
 
 def _valid_lane_mask(length: int, ax: _Axis):
+    """Lanes holding valid (stride-aligned, in-image) entries. The in-image
+    check matters when the tail is lane-padded to the 128 minimum (16x16:
+    q1 = 64 valid lanes inside a 128-lane block)."""
     f = lax.broadcasted_iota(jnp.int32, (1, length), 1)
     ph = f // ax.side
     pw = f - ph * ax.side
-    return (ph % ax.stride == 0) & (pw % ax.stride == 0)
+    return ((ph % ax.stride == 0) & (pw % ax.stride == 0)
+            & (f < ax.side * ax.side))
 
 
 def _halo(group0: int, w: int, align: int = 8) -> int:
@@ -252,6 +266,13 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
     n_strips = hw // strip
     q1, q3 = hw // 4, hw // 64
     r2, r3 = h // 2, h // 4
+    # Tail stages lane-pad to the 128-lane minimum (16x16: q1 = 64). The
+    # conv masks are computed from pixel coordinates, so any neighbor index
+    # crossing into the padded region decodes to out-of-image coords and is
+    # zeroed — garbage lanes never leak into valid outputs, and the GAP mask
+    # carries an explicit in-image check.
+    lane_q1 = max(q1, 128)
+    pad_q1 = lane_q1 - q1
 
     lane1 = _Axis(h, 1, 0)          # stage-1 lanes: b pixels, dense
     ax2 = _Axis(r2, 1, 0)           # stage-2 both sides: compact (h/2) grid
@@ -308,7 +329,11 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
             blk = pool_rows_2x2(k, h)                       # [strip//4, hw]
             pooled = blk if pooled is None else jnp.concatenate([pooled, blk])
 
-        # swap sides, pool the (now row-side) b pixels -> [q1, q1]
+        # swap sides, pool the (now row-side) b pixels -> [q1, lane_q1];
+        # a-side rows pad up first so the post-transpose lane dim is >= 128.
+        if pad_q1:
+            pooled = jnp.concatenate(
+                [pooled, jnp.zeros((pad_q1, hw), pooled.dtype)])
         k = pool_rows_2x2(pooled.T, h)
 
         # ---- stage 2: compact (h/2) grid both sides (rows=b, lanes=a) ----
@@ -323,14 +348,16 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
         # ---- stage 3: rows compact (h/4); lanes sparse on (h/2) grid ----
         for l in range(groups[2]):
             k = w2 * _conv_dual(k, ax3_rows, ax3_lane) + b2
-            vb = cast_prof(vb3[l][b][None, :][:, :n_g3].T)  # [q1//4, 1]
-            va = cast_prof(va3[l][a][None, :])              # [1, q1] sparse
+            # transpose-then-row-slice: sublane slices lower cleanly where a
+            # sub-128 lane slice would not (n_g3 = 16 at 16x16)
+            vb = cast_prof(vb3[l][b][None, :].T[:n_g3])     # [q1//4, 1]
+            va = cast_prof(va3[l][a][None, :])              # [1, lane_q1]
             k = t_fn(k, vb, va)
-        k = pool_rows_2x2(k, r3)                            # [q3, q1]
+        k = pool_rows_2x2(k, r3)                            # [q3, lane_q1]
         k = _pool_lanes_sparse(k, ax3_lane)                 # lanes: stride 4
 
         # ---- GAP + final dense: masked mean over (h/8)^2 x (h/8)^2 ----
-        valid = _valid_lane_mask(q1, _Axis(r2, 4, 0))
+        valid = _valid_lane_mask(lane_q1, _Axis(r2, 4, 0))
         total = jnp.sum(jnp.where(valid, k.astype(jnp.float32), 0.0))
         return last2 * total / (q3 * q3)
 
@@ -405,11 +432,19 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
         padded = jnp.pad(p.reshape(m1, hw), ((0, 0), (halo, halo)))
         return padded.reshape(m1 // _T1, _T1, hw + 2 * halo).transpose(0, 2, 1)
 
+    # a-side tail profiles ride the lane axis, which the kernel pads to the
+    # 128-lane minimum (lane_q1) — pad here to match.
+    lane_q1 = max(hw // 4, 128)
+
+    def _lane_pad(v):
+        return jnp.pad(v, ((0, 0), (0, lane_q1 - v.shape[-1])))
+
     va1 = [_t1_groups(prof1[l]) for l in range(g0)]
     vb1 = [prof2[l].reshape(m2, hw) for l in range(g0)]
-    va2 = [prof1[g0 + l].reshape(m1, hw // 4) for l in range(g1)]
+    va2 = [_lane_pad(prof1[g0 + l].reshape(m1, hw // 4)) for l in range(g1)]
     vb2 = [prof2[g0 + l].reshape(m2, hw // 4) for l in range(g1)]
-    va3 = [_sparse_expand(prof1[g0 + g1 + l], r2side) for l in range(g2)]
+    va3 = [_lane_pad(_sparse_expand(prof1[g0 + g1 + l], r2side))
+           for l in range(g2)]
     vb3 = [jnp.pad(prof2[g0 + g1 + l].reshape(m2, n_g3),
                    ((0, 0), (0, g3pad))) for l in range(g2)]
 

@@ -31,7 +31,7 @@ __all__ = ["blocked_cholesky", "cyclic_cholesky", "distributed_cholesky"]
 
 
 @partial(jax.jit, static_argnames=("block",))
-def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
+def blocked_cholesky(a: jax.Array, block: Optional[int] = None) -> jax.Array:
     """Lower Cholesky factor of PSD ``a`` via right-looking block panels.
 
     The block count is static, so the panel loop unrolls with *statically
@@ -46,8 +46,21 @@ def blocked_cholesky(a: jax.Array, block: int = 512) -> jax.Array:
     Non-multiple sizes are identity-padded ([[A, 0], [0, I]] factors to
     [[L, 0], [0, I]]) and sliced back. Equivalent to ``jnp.linalg.cholesky``
     up to float error.
+
+    ``block=None`` (default) picks 512 grown so the panel count stays <= 24:
+    the unrolled panel loops emit O(nb^2/2) HLO ops and XLA compile scales
+    with them — measured on v5e (RESULTS.md round 3): nb=16 already costs
+    ~48 s of compile while steady-state run time is insensitive to block
+    size (0.108 s vs 0.110 s at N=16k for block 1024 vs 2048, both ~1.1x
+    the monolithic op). An explicit ``block`` is respected verbatim (tests
+    exercise many-panel configurations deliberately).
     """
     n0 = a.shape[-1]
+    if block is None:
+        block = 512
+        if n0 // block > 24:
+            per_panel = -(-n0 // 24)              # ceil(n0 / 24)
+            block = -(-per_panel // 256) * 256    # round up to 256 multiple
     block = min(block, n0)
     pad = (-n0) % block
     if pad:
@@ -203,7 +216,7 @@ def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,
 
 
 def distributed_cholesky(a: jax.Array, mesh: Optional[Mesh] = None,
-                         block: int = 512, axis_name: str = "data",
+                         block: Optional[int] = None, axis_name: str = "data",
                          strategy: str = "pjit") -> jax.Array:
     """Distributed blocked Cholesky over a device mesh.
 
@@ -216,7 +229,8 @@ def distributed_cholesky(a: jax.Array, mesh: Optional[Mesh] = None,
     if mesh is None or mesh.size == 1:
         return blocked_cholesky(a, block=block)
     if strategy == "cyclic":
-        return cyclic_cholesky(a, mesh, block=block, axis_name=axis_name)
+        return cyclic_cholesky(a, mesh, block=block or 512,
+                               axis_name=axis_name)
     shard = row_sharding(mesh, ndim=2, axis_name=axis_name)
     fn = jax.jit(partial(blocked_cholesky, block=block),
                  in_shardings=shard, out_shardings=shard)
