@@ -130,6 +130,7 @@ def test_ensemble_multi_member_average(tmp_path):
               "-nd", "100", "-q"])
 
 
+@pytest.mark.slow
 def test_find_both_samplers(tmp_path):
     for sampler in ["scipy", "device"]:
         out = str(tmp_path / sampler)

@@ -88,6 +88,7 @@ def test_avg_pool_f_matches_finite_width_mc():
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_mc), atol=0.05)
 
 
+@pytest.mark.slow
 def test_myrtle_kernel_runs_and_is_psd():
     x = jax.random.normal(jax.random.PRNGKey(6), (4, 8, 8, 3))
     kfn = F.get_myrtle_kernel(5, 10, "relu", w_std=1.0, b_std=0.1, last_w_std=1.0)
@@ -142,6 +143,7 @@ def test_scan_tiled_gram_matches_monolithic():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_layer_dsl_composes_with_full_tier():
     """One composed Layer serves both kernel tiers (VERDICT r1 weak #7):
     pooled architectures via kernel_fn_of(layer, full=True) match the

@@ -42,6 +42,7 @@ def test_myrtle_gram_matches_full_tier(depth, act):
                                rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_myrtle_gram_symmetric_and_padding():
     """x2=None defaults to x1; non-multiple N1/N2 are padded and sliced."""
     x1, _ = _data(5, 1, 8, seed=3)
@@ -119,6 +120,7 @@ def test_myrtle_gram_sharded_row_panels():
                                rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_var_profiles_match_full_tier_diag():
     """Profile recursion equals the full tier's per-sample diagonal."""
     from snngp.nn.full import full_input_state, ConvF, ActF, AvgPoolF
@@ -140,6 +142,7 @@ def test_var_profiles_match_full_tier_diag():
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_myrtle_gram_bf16_state_close_to_fp32():
     """bf16 pair-state kernel: ~1e-2 relative Gram error budget vs the fp32
     full tier (the north-star throughput lever; VERDICT r2 Next #1)."""

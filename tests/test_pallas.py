@@ -107,6 +107,7 @@ def test_fused_cnn_gram_matches_reference_tier():
         CG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_cnn_gram_gradients():
     import snngp.ops.pallas.conv_gram as CG
     CG.INTERPRET = True
@@ -172,6 +173,7 @@ def test_fused_conv_resnet_gram_gradients():
         RG.INTERPRET = False
 
 
+@pytest.mark.slow
 def test_fused_cnn_gram_narrow_layout_32x32():
     """hw > 256 narrow-tile layout (3-D output block, t2 = 8): parity vs the
     reference tier at CIFAR resolution (VERDICT r1 item 3)."""

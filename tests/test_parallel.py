@@ -30,6 +30,7 @@ def test_blocked_cholesky_single_block():
                                np.asarray(jnp.linalg.cholesky(a)), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distributed_cholesky_on_mesh():
     assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
     mesh = get_mesh(8)
@@ -114,6 +115,7 @@ def test_sharded_gram_cross():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_end_to_end_sharded_solve():
     """Gram (sharded) -> distributed Cholesky -> NLL equals single-device."""
     mesh = get_mesh(8)
@@ -140,6 +142,7 @@ def test_blocked_cholesky_identity_padding():
                                np.asarray(jnp.linalg.cholesky(a)), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_2d_mesh_gram_matches_dense():
     """get_mesh(shape=(2,4)) + block-2D sharded_gram == dense Gram (VERDICT r1
     item 8 / SURVEY.md D1-D2)."""
@@ -162,6 +165,7 @@ def test_init_distributed_single_process_noop():
     assert init_distributed() is False  # no coordinator configured: no-op
 
 
+@pytest.mark.slow
 def test_mesh_sharded_predictive_parity():
     """gp_predict / SPR.test_nll with the distributed blocked chol_fn on an
     8-device mesh equals the monolithic jnp.linalg.cholesky path (VERDICT r1
@@ -204,6 +208,7 @@ def test_mesh_sharded_predictive_parity():
     np.testing.assert_allclose(n1, n2, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_svsp_chol_fn_parity():
     """SVSP with a blocked chol_fn matches the default solve path (VERDICT r1
     item 2: SVSP's _posterior_pieces must accept a distributed factorization)."""
