@@ -315,3 +315,68 @@ def test_pinned_literal_conv_and_gap_constants():
     got = float(kfn(jnp.asarray(y1, jnp.float32)[None],
                     jnp.asarray(y2, jnp.float32)[None], get="nngp")[0, 0])
     np.testing.assert_allclose(got, 49.0 / 768.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Conv NTK: full chain enumerated by hand (previously MC-only at atol 0.2+)
+# ---------------------------------------------------------------------------
+
+def _relu_Tdot(k, v1, v2):
+    """Cho & Saul (2009) degree-0 arc-cosine kernel:
+    E[relu'(u) relu'(v)] = (pi - acos(K / sqrt(v1 v2))) / (2 pi)."""
+    c = min(1.0, max(-1.0, k / math.sqrt(v1 * v2)))
+    return (math.pi - math.acos(c)) / (2.0 * math.pi)
+
+
+def test_conv_relu_conv_gap_ntk_hand_derived_float64():
+    """NTK of conv -> relu -> conv -> GAP -> dense on a 2x2 image, every
+    step enumerated by hand in float64 from the Jacot et al. (2018) / Lee et
+    al. (2019) recursion generalized to conv (Arora et al. 2019, "On Exact
+    Computation with an Infinitely Wide Neural Net", CNTK eq. 10-12):
+
+        conv:  Theta' = K' + w^2 M(Theta)   (M = tap-offset patch mean,
+                                             the same linear map as the
+                                             NNGP conv recursion sans bias)
+        relu:  Theta' = Theta * Tdot(K)     (degree-0 arccos kernel)
+        GAP:   Theta' = mean over all pixel pairs
+        dense: Theta' = K' + w^2 Theta
+
+    The reference reaches these numbers via neural_tangents stax with
+    get="ntk" (experiments/nt_kernels.py:34-45, sample.ipynb NTK panels).
+    """
+    x1 = _int_images((2, 2, 2), 12)
+    x2 = _int_images((2, 2, 2), 13)
+    w2, b2 = Fraction(1), Fraction(1, 4)
+    pix = [(i, j) for i in range(2) for j in range(2)]
+
+    # Block 1: conv (exact rationals), Theta1 = K1 (Theta0 = 0).
+    k12, _, _ = conv_cov(input_cov(x1, x2), 2, 2, (3, 3), (1, 1), w2, b2)
+    k11, _, _ = conv_cov(input_cov(x1, x1), 2, 2, (3, 3), (1, 1), w2, b2)
+    k22, _, _ = conv_cov(input_cov(x2, x2), 2, 2, (3, 3), (1, 1), w2, b2)
+    th = {pq: float(v) for pq, v in k12.items()}
+
+    # ReLU: K -> T(K), Theta -> Theta * Tdot(K), in float64.
+    t12, td = {}, {}
+    for p in pix:
+        for q in pix:
+            v1, v2 = float(k11[(p, p)]), float(k22[(q, q)])
+            t12[(p, q)] = _relu_T(float(k12[(p, q)]), v1, v2)
+            th[(p, q)] *= _relu_Tdot(float(k12[(p, q)]), v1, v2)
+
+    # Block 2: conv on floats; Theta2 = K2 + w^2 M(Theta) (b2=0 term).
+    c12, h, w = conv_cov(t12, 2, 2, (3, 3), (1, 1), 1.0, 0.25)
+    mth, _, _ = conv_cov(th, 2, 2, (3, 3), (1, 1), 1.0, 0.0)
+    th2 = {pq: c12[pq] + mth[pq] for pq in c12}
+
+    # GAP, then Dense(1.1): Theta_out = 1.21 K + 1.21 Theta.
+    k_gap = sum(c12.values()) / (h * w) ** 2
+    th_gap = sum(th2.values()) / (h * w) ** 2
+    want = 1.21 * float(k_gap) + 1.21 * float(th_gap)
+
+    kfn = F.full_kernel_fn(F.serial_f(
+        F.ConvF((3, 3), (1, 1), 1.0, 0.5), F.ActF("relu"),
+        F.ConvF((3, 3), (1, 1), 1.0, 0.5), F.GlobalAvgPoolF(),
+        F.DenseF(w_std=1.1)))
+    got = float(kfn(jnp.asarray(x1, jnp.float32)[None],
+                    jnp.asarray(x2, jnp.float32)[None], get="ntk")[0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)

