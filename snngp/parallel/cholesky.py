@@ -30,8 +30,9 @@ from snngp.parallel.mesh import row_sharding
 __all__ = ["blocked_cholesky", "cyclic_cholesky", "distributed_cholesky"]
 
 
-@partial(jax.jit, static_argnames=("block",))
-def blocked_cholesky(a: jax.Array, block: Optional[int] = None) -> jax.Array:
+@partial(jax.jit, static_argnames=("block", "panel_inverse"))
+def blocked_cholesky(a: jax.Array, block: Optional[int] = None,
+                     panel_inverse: bool = False) -> jax.Array:
     """Lower Cholesky factor of PSD ``a`` via right-looking block panels.
 
     The block count is static, so the panel loop unrolls with *statically
@@ -46,6 +47,12 @@ def blocked_cholesky(a: jax.Array, block: Optional[int] = None) -> jax.Array:
     Non-multiple sizes are identity-padded ([[A, 0], [0, I]] factors to
     [[L, 0], [0, I]]) and sliced back. Equivalent to ``jnp.linalg.cholesky``
     up to float error.
+
+    ``panel_inverse=True`` computes the panel as ``A21 @ L11^{-T}`` (one
+    [b, b] triangular inverse + a pure matmul) instead of the [rest, b]
+    triangular solve — the MAGMA-style trtri+gemm panel, trading a bounded
+    extra rounding term (||inv|| ~ cond(L11), benign for the jittered PSD
+    Grams this factors) for full MXU utilization on the tall operand.
 
     ``block=None`` (default) picks 512 grown so the panel count stays <= 24:
     the unrolled panel loops emit O(nb^2/2) HLO ops and XLA compile scales
@@ -71,15 +78,23 @@ def blocked_cholesky(a: jax.Array, block: Optional[int] = None) -> jax.Array:
 
     out = jnp.zeros_like(a)
     work = a
+    eye = jnp.eye(block, dtype=a.dtype) if panel_inverse else None
     for k in range(nb):
         # work is the trailing submatrix from offset k*block on.
         lkk = jnp.linalg.cholesky(work[:block, :block])
         strip = lkk
         if k + 1 < nb:
-            # rows below the diagonal block: solve L21 L11^T = A21.
-            panel = lax.linalg.triangular_solve(
-                lkk, work[block:, :block], left_side=False, lower=True,
-                transpose_a=True)
+            if panel_inverse:
+                # trtri + gemm: L21 = A21 L11^{-T}; the tall operand hits
+                # the MXU as a plain matmul instead of a [rest, b] trsm.
+                inv_t = lax.linalg.triangular_solve(
+                    lkk, eye, left_side=False, lower=True, transpose_a=True)
+                panel = work[block:, :block] @ inv_t
+            else:
+                # rows below the diagonal block: solve L21 L11^T = A21.
+                panel = lax.linalg.triangular_solve(
+                    lkk, work[block:, :block], left_side=False, lower=True,
+                    transpose_a=True)
             strip = jnp.concatenate([lkk, panel], axis=0)
             rest = work[block:, block:]
             # Lower-triangular syrk: update block-column c only from its

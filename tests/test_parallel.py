@@ -24,6 +24,17 @@ def test_blocked_cholesky_matches_lapack():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-4)
 
 
+def test_blocked_cholesky_panel_inverse_matches_lapack():
+    """MAGMA-style trtri+gemm panel: same factor as the trsm path (jittered
+    PSD input; odd size exercises the identity-padding with the inverse)."""
+    for n, b in [(256, 64), (200, 64)]:
+        a = _psd(n, seed=7)
+        got = blocked_cholesky(a, block=b, panel_inverse=True)
+        expect = jnp.linalg.cholesky(a)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   atol=2e-4)
+
+
 def test_blocked_cholesky_single_block():
     a = _psd(64, seed=2)
     np.testing.assert_allclose(np.asarray(blocked_cholesky(a, block=64)),
