@@ -119,6 +119,14 @@ def main():
                          "shape (16x16 or 32x32)")
     ap.add_argument("--fused-block", type=int, default=512,
                     help="fixed dispatch block for the fused assembly")
+    ap.add_argument("--chol", choices=["auto", "xla", "blocked"],
+                    default="auto",
+                    help="factorization kernel: snngp's blocked right-looking"
+                         " Cholesky or XLA's monolithic op. auto = blocked at"
+                         " N >= 4096 (XLA's op has a pathological first-run"
+                         " cost at some large shapes — 185 s at N=8192, 569 s"
+                         " at N=24576 measured on v5e, RESULTS.md round 3 —"
+                         " while the blocked kernel's is 2-6 s)")
     args = ap.parse_args()
 
     x, y = load_images(args.n_train + args.n_test, args.image_size, seed=0)
@@ -190,9 +198,16 @@ def main():
     with prof.phase("gram_test"):
         k_tt = prof.observe(gram(x_test, x_test, True))
 
+    use_blocked = (args.chol == "blocked"
+                   or (args.chol == "auto" and args.n_train >= 4096))
+    if use_blocked:
+        from snngp.parallel.cholesky import blocked_cholesky
+        chol_kernel = lambda k: blocked_cholesky(add_jitter(k, args.eps))
+    else:
+        chol_kernel = jax.jit(
+            lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))
     with prof.phase("cholesky"):
-        chol = prof.observe(jax.jit(
-            lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))(k_dd))
+        chol = prof.observe(chol_kernel(k_dd))
 
     # One jitted computation for the whole predictive: eager per-op dispatch
     # costs ~1 s of tunnel latency *per op* plus a compile each, which
