@@ -35,6 +35,24 @@ import jax as _jax
 if "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ:
     _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent on-disk compilation cache. Pallas/Mosaic kernel compiles cost
+# 1-8 minutes per process through a remote-compile tunnel (RESULTS.md), and
+# plain XLA compiles of the scan-chunked training steps are tens of seconds;
+# caching the serialized executables amortizes both across CLI invocations
+# (e.g. `reg tr` then `reg ts`, or re-running a benchmark). Respects an
+# explicit JAX_COMPILATION_CACHE_DIR; set it empty to disable. Backends whose
+# PJRT client cannot serialize executables simply skip the cache (JAX logs
+# a warning, nothing breaks).
+_cache_dir = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "snngp-xla"))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # Default thresholds skip sub-second compiles and small executables;
+    # keep everything — the dominant cost here is the remote round-trip.
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from snngp import nn
 from snngp import ops
 from snngp import models
