@@ -39,9 +39,11 @@ the 4 MB ``x2^T`` block stays resident while the cheap x1-side blocks sweep.
 Supports Myrtle-5/7/10 (``snngp/nn/full.py:get_myrtle_kernel``; conv counts
 per pooling group (1,1,1)/(2,2,1)/(3,3,2)), relu/erf, square pow2 images.
 Compiled shapes: 32x32 (the reference's CIFAR/SVHN resolution, the
-north-star benchmark, 33.5 us/pair) and 16x16 (tail stages lane-padded to
-the 128-lane minimum, round 3; 3.4 us/pair, parity 2.9e-7). 8x8 runs in
-interpret mode only (stage-1 lanes = hw = 64 < the 128-lane grid).
+north-star benchmark, 33.5 us/pair), 16x16 (tail stages lane-padded to the
+128-lane minimum, round 3; 3.4 us/pair, parity 2.9e-7), and 8x8 (stage 1
+itself lane-pads — hw = 64 — which also pads the b side's pooled rows in
+the tail stages and the GAP masks both axes; see RESULTS.md for on-TPU
+parity/throughput).
 
 28x28 (MNIST-family) is NOT a Myrtle shape at all: three 2x2 pools need
 h divisible by 8 (28 -> 14 -> 7 -> x), in this kernel, the XLA full tier
@@ -266,13 +268,19 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
     n_strips = hw // strip
     q1, q3 = hw // 4, hw // 64
     r2, r3 = h // 2, h // 4
-    # Tail stages lane-pad to the 128-lane minimum (16x16: q1 = 64). The
-    # conv masks are computed from pixel coordinates, so any neighbor index
-    # crossing into the padded region decodes to out-of-image coords and is
-    # zeroed — garbage lanes never leak into valid outputs, and the GAP mask
-    # carries an explicit in-image check.
+    # Every stage lane-pads to the 128-lane Mosaic minimum. At 16x16 only
+    # the pooled tail needs it (q1 = 64); at 8x8 stage 1 itself does
+    # (hw = 64), which also pads the b side's pooled ROWS in stages 2/3
+    # (rows = lane_1/4 = 32 > q1 = 16). The conv masks are computed from
+    # pixel coordinates, so any neighbor index crossing into a padded
+    # region decodes to out-of-image coords and is zeroed — garbage never
+    # leaks into valid outputs; pooling reshapes keep the real prefix
+    # block-aligned (pow2 sizes), and the GAP masks both axes.
+    lane_1 = max(hw, 128)           # stage-1 physical lane width
     lane_q1 = max(q1, 128)
     pad_q1 = lane_q1 - q1
+    rows_2 = lane_1 // 4            # stage-2 physical rows (b side, pooled)
+    rows_3 = rows_2 // 4            # stage-3 physical rows
 
     lane1 = _Axis(h, 1, 0)          # stage-1 lanes: b pixels, dense
     ax2 = _Axis(r2, 1, 0)           # stage-2 both sides: compact (h/2) grid
@@ -329,35 +337,38 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
             blk = pool_rows_2x2(k, h)                       # [strip//4, hw]
             pooled = blk if pooled is None else jnp.concatenate([pooled, blk])
 
-        # swap sides, pool the (now row-side) b pixels -> [q1, lane_q1];
+        # swap sides, pool the (now row-side) b pixels -> [rows_2, lane_q1];
         # a-side rows pad up first so the post-transpose lane dim is >= 128.
         if pad_q1:
             pooled = jnp.concatenate(
-                [pooled, jnp.zeros((pad_q1, hw), pooled.dtype)])
+                [pooled, jnp.zeros((pad_q1, pooled.shape[1]), pooled.dtype)])
         k = pool_rows_2x2(pooled.T, h)
 
         # ---- stage 2: compact (h/2) grid both sides (rows=b, lanes=a) ----
         for l in range(groups[1]):
             k = w2 * _conv_dual(k, ax2, ax2) + b2
-            vb = cast_prof(vb2[l][b][None, :].T)            # [q1, 1]
-            va = cast_prof(va2[l][a][None, :])              # [1, q1]
+            vb = cast_prof(vb2[l][b][None, :].T)            # [rows_2, 1]
+            va = cast_prof(va2[l][a][None, :])              # [1, lane_q1]
             k = t_fn(k, vb, va)
-        k = pool_rows_2x2(k, r2)                            # [q1//4, q1]
+        k = pool_rows_2x2(k, r2)                            # [rows_3, lane_q1]
         k = _pool_lanes_sparse(k, ax2)                      # lanes: stride 2
 
         # ---- stage 3: rows compact (h/4); lanes sparse on (h/2) grid ----
         for l in range(groups[2]):
             k = w2 * _conv_dual(k, ax3_rows, ax3_lane) + b2
             # transpose-then-row-slice: sublane slices lower cleanly where a
-            # sub-128 lane slice would not (n_g3 = 16 at 16x16)
-            vb = cast_prof(vb3[l][b][None, :].T[:n_g3])     # [q1//4, 1]
+            # sub-128 lane slice would not (rows_3 = 16 at 16x16)
+            vb = cast_prof(vb3[l][b][None, :].T[:rows_3])   # [rows_3, 1]
             va = cast_prof(va3[l][a][None, :])              # [1, lane_q1]
             k = t_fn(k, vb, va)
-        k = pool_rows_2x2(k, r3)                            # [q3, lane_q1]
+        k = pool_rows_2x2(k, r3)                            # rows_3//4 rows
         k = _pool_lanes_sparse(k, ax3_lane)                 # lanes: stride 4
 
         # ---- GAP + final dense: masked mean over (h/8)^2 x (h/8)^2 ----
         valid = _valid_lane_mask(lane_q1, _Axis(r2, 4, 0))
+        if k.shape[0] > q3:     # b-side rows were padded (8x8): mask them
+            row_f = lax.broadcasted_iota(jnp.int32, (k.shape[0], 1), 0)
+            valid = valid & (row_f < q3)
         total = jnp.sum(jnp.where(valid, k.astype(jnp.float32), 0.0))
         return last2 * total / (q3 * q3)
 
@@ -412,11 +423,14 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
     # flattened-pixel inputs: x1 row-padded by the halo (zero rows give the
     # conv its SAME zero extension for free); x2 transposed for the MXU;
     # channels zero-padded to the sublane grid, prescaled by 1/sqrt(c).
+    # The b side's pixel dim lane-pads to the 128-lane minimum (8x8 images:
+    # hw = 64) — the kernel's masks treat the pad as out-of-image.
+    lane_1 = max(hw, 128)
     scale_c = 1.0 / jnp.sqrt(jnp.asarray(c, jnp.float32))
     x1f = jnp.pad(x1p.reshape(m1, hw, c) * scale_c,
                   ((0, 0), (halo, halo), (0, 8 - c)))
     x2t = jnp.pad(x2p.reshape(m2, hw, c) * scale_c,
-                  ((0, 0), (0, 0), (0, 8 - c))).transpose(0, 2, 1)
+                  ((0, 0), (0, lane_1 - hw), (0, 8 - c))).transpose(0, 2, 1)
 
     prof1 = myrtle_var_profiles(x1p, groups, act, w_std, b_std)
     prof2 = myrtle_var_profiles(x2p, groups, act, w_std, b_std)
@@ -439,10 +453,14 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
     def _lane_pad(v):
         return jnp.pad(v, ((0, 0), (0, lane_q1 - v.shape[-1])))
 
+    rows_2 = lane_1 // 4    # stage-2 physical rows (b side; > hw//4 at 8x8)
+
     va1 = [_t1_groups(prof1[l]) for l in range(g0)]
-    vb1 = [prof2[l].reshape(m2, hw) for l in range(g0)]
+    vb1 = [jnp.pad(prof2[l].reshape(m2, hw), ((0, 0), (0, lane_1 - hw)))
+           for l in range(g0)]
     va2 = [_lane_pad(prof1[g0 + l].reshape(m1, hw // 4)) for l in range(g1)]
-    vb2 = [prof2[g0 + l].reshape(m2, hw // 4) for l in range(g1)]
+    vb2 = [jnp.pad(prof2[g0 + l].reshape(m2, hw // 4),
+                   ((0, 0), (0, rows_2 - hw // 4))) for l in range(g1)]
     va3 = [_lane_pad(_sparse_expand(prof1[g0 + g1 + l], r2side))
            for l in range(g2)]
     vb3 = [jnp.pad(prof2[g0 + g1 + l].reshape(m2, n_g3),
