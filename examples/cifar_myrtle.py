@@ -116,9 +116,16 @@ def main():
                     help="use the fused Pallas Myrtle kernel "
                          "(snngp.ops.pallas.myrtle_gram; ~20x the XLA full "
                          "tier at 32x32). auto = TPU backend and a compiled "
-                         "shape (16x16 or 32x32)")
+                         "shape (8x8, 16x16 or 32x32)")
     ap.add_argument("--fused-block", type=int, default=512,
                     help="fixed dispatch block for the fused assembly")
+    ap.add_argument("--resume-gram", default="",
+                    help="directory for crash-resumable fused-Gram assembly: "
+                         "each phase's Gram lives in an .npy memmap with a "
+                         "block-done bitmap, flushed per block; re-running "
+                         "with the same directory skips completed blocks "
+                         "(remote TPU workers die transiently — at "
+                         "north-star sizes the assembly is hours)")
     ap.add_argument("--chol", choices=["auto", "xla", "blocked"],
                     default="auto",
                     help="factorization kernel: snngp's blocked right-looking"
@@ -148,7 +155,7 @@ def main():
 
     fused = (args.fused == "on"
              or (args.fused == "auto" and jax.default_backend() == "tpu"
-                 and args.image_size in (16, 32)))
+                 and args.image_size in (8, 16, 32)))
     # --bf16 + fused: measured on v5e (RESULTS.md round 3) the bf16 pair
     # state gives ZERO speedup (packed-bf16 VPU ops run at fp32 rate) and
     # Mosaic rejects bf16 rolls in compiled mode — so on TPU the fused path
@@ -173,30 +180,34 @@ def main():
         # the solve; tests/test_myrtle_pallas.py validates on the CPU mesh).
         from snngp.ops.pallas.myrtle_gram import myrtle_gram_sharded
 
-        def gram(a, b, symmetric):
+        def gram(a, b, symmetric, name=""):
             return jnp.asarray(myrtle_gram_sharded(
                 a, None if symmetric else b, mesh, depth=args.depth,
                 act="relu", dtype=fused_dtype, **hyper))
     elif fused:
         from snngp.ops.pallas.myrtle_gram import myrtle_gram_tiled
+        if args.resume_gram:
+            os.makedirs(args.resume_gram, exist_ok=True)
 
-        def gram(a, b, symmetric):
+        def gram(a, b, symmetric, name=""):
+            resume = (os.path.join(args.resume_gram, f"gram_{name}.npy")
+                      if args.resume_gram else None)
             return jnp.asarray(myrtle_gram_tiled(
                 a, None if symmetric else b, depth=args.depth, act="relu",
                 block=args.fused_block, log=print, dtype=fused_dtype,
-                **hyper))
+                resume_path=resume, **hyper))
     else:
-        def gram(a, b, symmetric):
+        def gram(a, b, symmetric, name=""):
             return tiled_gram(kfn, a, b, args.tile,
                               symmetric and mesh is None, mesh=mesh,
                               chunk=args.scan_chunk, remat=args.remat)
 
     with prof.phase("gram_train"):
-        k_dd = prof.observe(gram(x_train, x_train, True))
+        k_dd = prof.observe(gram(x_train, x_train, True, "train"))
     with prof.phase("gram_cross"):
-        k_td = prof.observe(gram(x_test, x_train, False))
+        k_td = prof.observe(gram(x_test, x_train, False, "cross"))
     with prof.phase("gram_test"):
-        k_tt = prof.observe(gram(x_test, x_test, True))
+        k_tt = prof.observe(gram(x_test, x_test, True, "test"))
 
     use_blocked = (args.chol == "blocked"
                    or (args.chol == "auto" and args.n_train >= 4096))

@@ -607,7 +607,8 @@ def _tiled_jit(depth: int, act: str, dtype_key: str):
 
 def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                       depth: int = 5, act: str = "relu", w_std=1.0, b_std=0.0,
-                      last_w_std=1.0, block: int = 512, log=None, dtype=None):
+                      last_w_std=1.0, block: int = 512, log=None, dtype=None,
+                      resume_path: Optional[str] = None):
     """Assemble an arbitrarily large Myrtle Gram from fixed-shape
     [block, block] fused-kernel dispatches.
 
@@ -616,6 +617,13 @@ def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
     (``x2 is None``) compute only the upper-triangular blocks and mirror.
     Returns a host numpy array — at north-star sizes the Gram exceeds what
     one wants resident on-device next to the Cholesky workspace.
+
+    ``resume_path`` makes the assembly crash-resumable: the Gram lives in an
+    ``.npy`` memmap at that path with a sidecar ``<path>.done.npy`` block
+    bitmap, flushed after every block. A re-run with the same path skips
+    completed blocks — at north-star sizes the assembly is hours of device
+    time and remote workers die transiently, so losing only the in-flight
+    block (not the run) is the difference between a retry and a redo.
     """
     import numpy as np
     symmetric = x2 is None
@@ -636,16 +644,45 @@ def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                             + ((0, 0),) * (x.ndim - 1))
         return piece
 
-    out = np.zeros((n1, n2), np.float32)
     todo = [(i, j) for i in range(0, n1, block)
             for j in range(i if symmetric else 0, n2, block)]
+
+    done = None
+    if resume_path is None:
+        out = np.zeros((n1, n2), np.float32)
+    else:
+        import os
+        done_path = resume_path + ".done.npy"
+        if os.path.exists(resume_path) and os.path.exists(done_path):
+            out = np.lib.format.open_memmap(resume_path, mode="r+")
+            done = np.load(done_path)
+            if out.shape != (n1, n2) or done.shape[0] != len(todo):
+                raise ValueError(
+                    f"resume_path {resume_path} holds a {out.shape} Gram / "
+                    f"{done.shape[0]}-block bitmap; expected {(n1, n2)} / "
+                    f"{len(todo)} — different data or block size")
+            if log is not None:
+                log(f"myrtle_gram_tiled: resuming, {int(done.sum())}/"
+                    f"{len(todo)} blocks already done")
+        else:
+            out = np.lib.format.open_memmap(
+                resume_path, mode="w+", dtype=np.float32, shape=(n1, n2))
+            done = np.zeros(len(todo), bool)
+            np.save(done_path, done)
+
     for t, (i, j) in enumerate(todo):
+        if done is not None and done[t]:
+            continue
         piece = np.asarray(fn(blk(x1, i), blk(x2e, j)))
         h = min(block, n1 - i)
         w = min(block, n2 - j)
         out[i:i + h, j:j + w] = piece[:h, :w]
         if symmetric and j > i:
             out[j:j + w, i:i + h] = piece[:h, :w].T
+        if done is not None:
+            out.flush()
+            done[t] = True
+            np.save(done_path, done)
         if log is not None and (t % 8 == 0 or t == len(todo) - 1):
             log(f"myrtle_gram_tiled: block {t + 1}/{len(todo)}")
     return out

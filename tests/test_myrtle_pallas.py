@@ -154,3 +154,41 @@ def test_myrtle_gram_bf16_state_close_to_fp32():
     rel = np.abs(np.asarray(got) - want) / np.maximum(np.abs(want), 1e-3)
     assert float(rel.max()) < 3e-2, float(rel.max())
     assert got.dtype == jnp.float32
+
+
+def test_myrtle_gram_tiled_resume(tmp_path, monkeypatch):
+    """Crash-resumable tiled assembly: blocks land in an .npy memmap with a
+    done bitmap; a re-run skips completed blocks and a fresh run matches a
+    resumed run that lost half its blocks. The fused kernel is stubbed with
+    a cheap bilinear map so this tests the bookkeeping, not the kernel."""
+    calls = []
+
+    def fake_jit(depth, act, dtype_key):
+        def fn(a, b, w, bs, l):
+            calls.append(1)
+            return (a.reshape(a.shape[0], -1) @ b.reshape(b.shape[0], -1).T
+                    ) * w + bs + l
+        return fn
+
+    monkeypatch.setattr(mg, "_tiled_jit", fake_jit)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(10, 8, 8, 3), jnp.float32)
+    path = str(tmp_path / "gram_train.npy")
+
+    want = mg.myrtle_gram_tiled(x, block=4)                   # no resume
+    got = mg.myrtle_gram_tiled(x, block=4, resume_path=path)  # fresh memmap
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+    # knock out half the done bits: only those blocks recompute
+    done = np.load(path + ".done.npy")
+    n_blocks = done.shape[0]
+    done[::2] = False
+    np.save(path + ".done.npy", done)
+    calls.clear()
+    got2 = mg.myrtle_gram_tiled(x, block=4, resume_path=path)
+    assert len(calls) == (n_blocks + 1) // 2
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-6)
+
+    # mismatched shape is rejected, not silently overwritten
+    with pytest.raises(ValueError):
+        mg.myrtle_gram_tiled(x[:8], block=4, resume_path=path)
