@@ -42,5 +42,10 @@ def main(raw_args):
         print("Stopped")
 
 
+def cli():
+    """Console-script entry point (``snngp`` after ``pip install -e .``)."""
+    main(main_args)
+
+
 if __name__ == "__main__":
     main(main_args)
