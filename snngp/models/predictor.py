@@ -1,0 +1,146 @@
+"""Fitted-state predictor: factorize once, predict many times (serving path).
+
+The reference evaluates its exact models by rebuilding the train Gram and
+re-solving (K + eps I) on *every* call (``spax/models.py:100-120`` via
+``spax/kernels.py:29-32``, which re-runs ``gradient_descent_mse_ensemble``
+per test batch) — O(N^2 kernel + N^3 solve) per prediction request. For
+production serving that is the wrong shape: the train-side state (Gram
+factorization, solve against the targets, the Student-t data-dependent scale)
+is fixed once hyperparameters are fixed.
+
+:func:`fit_spr` runs the expensive train-side work once and returns a
+:class:`FittedSPR` whose ``predict``/``test_nll`` cost only the cross-Gram
+plus triangular solves — O(N * n) per request, no re-factorization. The
+fitted state is a flat dict of arrays, so it jit-threads, shards, and
+round-trips through ``save``/``load`` (plain ``.npz``).
+
+Numerical contract: ``FittedSPR.test_nll`` equals ``SPR.test_nll`` (same
+params, same inputs) to float32 resolution — the same Cholesky-everything
+primitives are used, just hoisted out of the per-request path
+(tests/test_predictor.py pins this).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy import stats
+from jax.scipy.linalg import solve_triangular
+
+from snngp.models import params as P
+from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_quad_form,
+                              chol_solve)
+
+__all__ = ["fit_spr", "FittedSPR"]
+
+
+def fit_spr(model, params) -> "FittedSPR":
+    """One-time train-side solve for an :class:`snngp.models.gp.SPR`.
+
+    Computes the train Gram (row-sharded over the model's mesh when one is
+    configured), its regularized Cholesky factor, the target solve, and —
+    for a Student-t likelihood — the conditional-t degrees of freedom and
+    data-dependent scale ``d`` (``spax/likelihoods.py:52-65``), which depend
+    only on train data. Uses the model's ``chol_fn`` (distributed blocked
+    factorization on a mesh) for every factorization.
+    """
+    eps = P.constrained_read(params["eps"], model.bij)
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    chol_fn = model.chol_fn or jnp.linalg.cholesky
+
+    k_dd = model._gram(kernel_fn)
+    chol = chol_fn(add_diag_reg(k_dd, eps))                     # [N, N]
+    alpha = chol_solve(chol, model.y_data[:, None])             # [N, 1]
+
+    state = {
+        "chol": chol,
+        "alpha": alpha,
+        "y_mean": jnp.asarray(model.y_mean, jnp.float32),
+        "y_std": jnp.asarray(model.y_std, jnp.float32),
+    }
+
+    lik_params = params["likelihood"]
+    if model.likelihood.require:  # Student-t conditional predictive
+        a, b = model.likelihood._ab(lik_params)
+        df = 2.0 * a
+        chol_t = chol_fn(add_jitter((b / a) * k_dd, 1e-6))
+        state["d"] = df + chol_quad_form(chol_t, model.y_data)
+        state["cond_df"] = df + model.num_data
+        state["scale_ba"] = b / a
+
+    return FittedSPR(model, params, state)
+
+
+class FittedSPR:
+    """Cheap repeated prediction from a one-time :func:`fit_spr` solve."""
+
+    def __init__(self, model, params, state: Dict):
+        self.model = model
+        self.params = params
+        self.state = state
+        self._kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+        self._student_t = "d" in state
+
+    # -- prediction -------------------------------------------------------
+
+    def predict(self, x):
+        """De-normalized predictive mean and variance at ``x`` ([n], [n]).
+
+        mean = K*^T (K + r I)^{-1} y via the cached solve; the variance is
+        the posterior diagonal (both likelihoods' predictive densities use
+        only ``diag(cov)``, ``spax/likelihoods.py:30-33,52-65``), inflated by
+        the cached Student-t factor when applicable.
+        """
+        mean_n, var_n = self._posterior(x)
+        s = self.state
+        mean = mean_n * s["y_std"] + s["y_mean"]
+        var = var_n * s["y_std"] ** 2
+        if self._student_t:
+            var = (s["d"] / s["cond_df"]) * s["scale_ba"] * var
+        return mean, var
+
+    def test_nll(self, x, y):
+        """Predictive NLL on de-normalized targets; equals SPR.test_nll."""
+        mean_n, var_n = self._posterior(x)
+        s = self.state
+        y_den = y * s["y_std"] + s["y_mean"]
+        mean = mean_n * s["y_std"] + s["y_mean"]
+        var = var_n * s["y_std"] ** 2
+        if self._student_t:
+            sigma = jnp.sqrt((s["d"] / s["cond_df"]) * s["scale_ba"] * var)
+            log_prob = stats.t.logpdf(y_den, s["cond_df"], mean, sigma)
+        else:
+            log_prob = stats.norm.logpdf(y_den, mean, jnp.sqrt(var))
+        return -jnp.mean(log_prob)
+
+    def _posterior(self, x):
+        """Normalized posterior mean + variance diagonal ([n], [n])."""
+        model, s = self.model, self.state
+        k_td = model.kernel.K(self._kernel_fn, x, model.x_data)  # [n, N]
+        mean = (k_td @ s["alpha"]).flatten()
+        v = solve_triangular(s["chol"], k_td.T, lower=True)      # [N, n]
+        k_tt = model.kernel.K(self._kernel_fn, x)                # [n, n]
+        var = jnp.diag(k_tt) - jnp.sum(v * v, axis=0)
+        return mean, var
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path):
+        """Write the fitted state to ``path`` (.npz); params travel too."""
+        flat = dict(self.state)
+        for name, leaf in P.named_leaves(self.params):
+            flat["param:" + name] = leaf
+        np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+    @classmethod
+    def load(cls, path, model):
+        """Rebuild from :meth:`save` output plus the (static-config) model."""
+        with np.load(path) as data:
+            state = {k: jnp.asarray(data[k]) for k in data.files
+                     if not k.startswith("param:")}
+            saved = {k[len("param:"):]: jnp.asarray(data[k])
+                     for k in data.files if k.startswith("param:")}
+        params = P.unflatten_named(saved)
+        return cls(model, params, state)

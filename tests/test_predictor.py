@@ -1,0 +1,99 @@
+"""FittedSPR serving path: one-time fit == per-request SPR evaluation.
+
+The reference re-solves the train system per evaluation call
+(``spax/models.py:100-120``); the fitted predictor hoists that work out of
+the request path. These tests pin that the hoist is numerically a no-op and
+that the fitted state survives a save/load round trip.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from snngp.models import (NNGPKernel, GaussianLikelihood, SPR,
+                          StudentTLikelihood, fit_spr, FittedSPR)
+from snngp.nn import arch
+
+
+def _toy_spr(method="gp", n=24, y_mean=0.7, y_std=1.3):
+    rng = np.random.RandomState(11)
+    x = rng.randn(n, 3).astype(np.float32)
+    y = rng.randn(n).astype(np.float32)
+
+    def get_kernel_fn(w, b, l):
+        return arch.get_mlp_kernel(2, act="relu", w_std=w, b_std=b, last_w_std=l)
+
+    kernel = NNGPKernel(get_kernel_fn, 1.2, 0.5, 0.9)
+    lik = GaussianLikelihood() if method == "gp" else StudentTLikelihood(1.5, 2.5)
+    model = SPR(kernel, lik, x, y, jnp.array(y_mean), jnp.array(y_std), eps=1e-3)
+    return model
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fitted_test_nll_matches_spr(method):
+    model = _toy_spr(method)
+    params = model.init_params()
+    rng = np.random.RandomState(7)
+    x_test = rng.randn(9, 3).astype(np.float32)
+    y_test = rng.randn(9).astype(np.float32)
+
+    want = float(model.test_nll(params, x_test, y_test))
+    fitted = fit_spr(model, params)
+    got = float(fitted.test_nll(x_test, y_test))
+    # rtol 3e-5: the fitted path computes the posterior variance as
+    # diag(k_tt) - sum(v*v) instead of diag(k_tt - v.T @ v) — same math,
+    # fp32 reassociation only.
+    np.testing.assert_allclose(got, want, rtol=3e-5)
+
+    # A second request reuses the cached factorization (no state mutation).
+    got2 = float(fitted.test_nll(x_test[:4], y_test[:4]))
+    want2 = float(model.test_nll(params, x_test[:4], y_test[:4]))
+    np.testing.assert_allclose(got2, want2, rtol=3e-5)
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fitted_predict_mean_var(method):
+    """predict() returns the de-normalized posterior mean and the variance
+    whose sqrt is exactly the sigma the likelihood's predictive density
+    uses (diag-only, spax/likelihoods.py:30-33,52-65)."""
+    model = _toy_spr(method)
+    params = model.init_params()
+    x_test = np.random.RandomState(3).randn(6, 3).astype(np.float32)
+
+    fitted = fit_spr(model, params)
+    mean, var = fitted.predict(x_test)
+    assert mean.shape == (6,) and var.shape == (6,)
+    assert np.all(np.asarray(var) > 0)
+
+    # Cross-check against the model's own predictive pieces.
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    from snngp.models import params as P
+    eps = P.constrained_read(params["eps"], model.bij)
+    m_ref, cov_ref = model.kernel.predict(
+        kernel_fn, model.x_data, model.y_data[:, None], x_test, eps=eps)
+    np.testing.assert_allclose(
+        np.asarray(mean),
+        np.asarray(m_ref).flatten() * float(model.y_std) + float(model.y_mean),
+        rtol=1e-5)
+    base_var = np.diag(np.asarray(cov_ref)) * float(model.y_std) ** 2
+    if method == "tp":
+        s = fitted.state
+        base_var = float(s["d"] / s["cond_df"] * s["scale_ba"]) * base_var
+    np.testing.assert_allclose(np.asarray(var), base_var, rtol=1e-4)
+
+
+def test_fitted_save_load_roundtrip(tmp_path):
+    model = _toy_spr("tp")
+    params = model.init_params()
+    rng = np.random.RandomState(5)
+    x_test = rng.randn(5, 3).astype(np.float32)
+    y_test = rng.randn(5).astype(np.float32)
+
+    fitted = fit_spr(model, params)
+    want = float(fitted.test_nll(x_test, y_test))
+
+    path = tmp_path / "fitted.npz"
+    fitted.save(path)
+    loaded = FittedSPR.load(path, model)
+    got = float(loaded.test_nll(x_test, y_test))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
