@@ -8,11 +8,11 @@ from snngp.models.kernels import NNGPKernel
 from snngp.models.priors import Prior, GaussianPrior, InverseGammaPrior
 from snngp.models.likelihoods import Likelihood, GaussianLikelihood, StudentTLikelihood
 from snngp.models.gp import SPR, SVSP
-from snngp.models.predictor import fit_spr, FittedSPR
+from snngp.models.predictor import fit_spr, FittedSPR, fit_svsp, FittedSVSP
 
 __all__ = [
     "bijectors", "params", "positive", "Softplus", "Exp",
     "NNGPKernel", "Prior", "GaussianPrior", "InverseGammaPrior",
     "Likelihood", "GaussianLikelihood", "StudentTLikelihood", "SPR", "SVSP",
-    "fit_spr", "FittedSPR",
+    "fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP",
 ]

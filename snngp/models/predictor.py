@@ -30,10 +30,11 @@ from jax.scipy import stats
 from jax.scipy.linalg import solve_triangular
 
 from snngp.models import params as P
+from snngp.ops import get_correct_count, test_log_likelihood
 from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_quad_form,
-                              chol_solve)
+                              chol_solve, inv_psd)
 
-__all__ = ["fit_spr", "FittedSPR"]
+__all__ = ["fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP"]
 
 
 def fit_spr(model, params) -> "FittedSPR":
@@ -137,10 +138,94 @@ class FittedSPR:
     @classmethod
     def load(cls, path, model):
         """Rebuild from :meth:`save` output plus the (static-config) model."""
-        with np.load(path) as data:
-            state = {k: jnp.asarray(data[k]) for k in data.files
-                     if not k.startswith("param:")}
-            saved = {k[len("param:"):]: jnp.asarray(data[k])
-                     for k in data.files if k.startswith("param:")}
-        params = P.unflatten_named(saved)
+        params, state = _load_split(path)
         return cls(model, params, state)
+
+
+def fit_svsp(model, params) -> "FittedSVSP":
+    """One-time inducing-side solve for an :class:`snngp.models.gp.SVSP`.
+
+    ``SVSP.test_acc_nll`` re-factorizes the I x I inducing Gram twice per
+    evaluation batch (``spax/models.py:58-78`` via ``_posterior_pieces``).
+    Once training is done, the inducing inputs, both factorizations, the
+    explicit inverse, and the ``q_mu`` solve are all fixed — hoist them, so
+    a serving request costs only the [B, I]/[B, B] cross-Grams plus one
+    triangular solve.
+    """
+    z = params["inducing_variable"]
+    eps = P.constrained_read(params["eps"], model.bij)
+    q_sqrt = P.constrained_read(params["q_sqrt"], model.bij)
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    chol_fn = model.chol_fn or jnp.linalg.cholesky
+
+    k_ii = model.kernel.K(kernel_fn, z)
+    chol_rel = chol_fn(add_diag_reg(k_ii, eps))                  # [I, I]
+    state = {
+        "z": z,
+        "k_ii_inv": inv_psd(add_jitter(k_ii, eps), chol_fn=model.chol_fn),
+        "chol_rel": chol_rel,
+        "w": solve_triangular(chol_rel, params["q_mu"].T, lower=True),  # [I, C]
+        "q_sqrt": q_sqrt,
+    }
+    return FittedSVSP(model, params, state)
+
+
+class FittedSVSP:
+    """Cheap repeated classification from a one-time :func:`fit_svsp` solve."""
+
+    def __init__(self, model, params, state: Dict):
+        self.model = model
+        self.params = params
+        self.state = state
+        self._kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+
+    def predict_f(self, x):
+        """Latent posterior at ``x``: mean [C, B] and covariance [C, B, B]
+        (identical matrices to ``SVSP.test_acc_nll``'s internals)."""
+        model, s = self.model, self.state
+        k_bi = model.kernel.K(self._kernel_fn, x, s["z"])        # [B, I]
+        k_bb = model.kernel.K(self._kernel_fn, x)                # [B, B]
+        a_b = k_bi @ s["k_ii_inv"]                               # [B, I]
+        vb = solve_triangular(s["chol_rel"], k_bi.T, lower=True)  # [I, B]
+        mean = (vb.T @ s["w"]).T                                 # [C, B]
+        b_b = k_bb - vb.T @ vb
+        cov = jnp.einsum("ij,cj,kj->cik", a_b, s["q_sqrt"], a_b) + b_b[None]
+        return mean, cov
+
+    def predict_proba(self, key, x, num_samples=1000):
+        """Mean MC predictive class probabilities [B, C] (rows sum to 1)."""
+        from jax.nn import log_softmax, logsumexp
+        mean, cov = self.predict_f(x)
+        f = self.model.prior.sample_f_iid(
+            self.params["prior"], key, mean, cov, num_samples)   # [C, B, S]
+        log_pbar = logsumexp(log_softmax(f, axis=0), axis=2) - jnp.log(num_samples)
+        return jnp.exp(log_pbar).T
+
+    def test_acc_nll(self, key, x, y, num_samples=1000):
+        """MC predictive NLL + correct count; equals ``SVSP.test_acc_nll``
+        (same key, same sample count)."""
+        mean, cov = self.predict_f(x)
+        f = self.model.prior.sample_f_iid(
+            self.params["prior"], key, mean, cov, num_samples)
+        return -test_log_likelihood(f, y), get_correct_count(f, y)
+
+    def save(self, path):
+        flat = dict(self.state)
+        for name, leaf in P.named_leaves(self.params):
+            flat["param:" + name] = leaf
+        np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+    @classmethod
+    def load(cls, path, model):
+        params, state = _load_split(path)
+        return cls(model, params, state)
+
+
+def _load_split(path):
+    """Split a saved fitted-state .npz back into (params, state)."""
+    with np.load(path) as data:
+        state = {k: jnp.asarray(data[k]) for k in data.files
+                 if not k.startswith("param:")}
+        saved = {k[len("param:"):]: jnp.asarray(data[k])
+                 for k in data.files if k.startswith("param:")}
+    return P.unflatten_named(saved), state

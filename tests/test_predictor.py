@@ -6,12 +6,14 @@ the request path. These tests pin that the hoist is numerically a no-op and
 that the fitted state survives a save/load round trip.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from snngp.models import (NNGPKernel, GaussianLikelihood, SPR,
-                          StudentTLikelihood, fit_spr, FittedSPR)
+from snngp.models import (NNGPKernel, GaussianLikelihood, GaussianPrior,
+                          InverseGammaPrior, SPR, SVSP, StudentTLikelihood,
+                          fit_spr, FittedSPR, fit_svsp, FittedSVSP)
 from snngp.nn import arch
 
 
@@ -97,3 +99,51 @@ def test_fitted_save_load_roundtrip(tmp_path):
     loaded = FittedSPR.load(path, model)
     got = float(loaded.test_nll(x_test, y_test))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _toy_svsp(method="svgp"):
+    rng = np.random.RandomState(7)
+    C, I = 3, 6
+    z = rng.randn(I, 4).astype(np.float32)
+
+    def get_kernel_fn(w, b, l):
+        return arch.get_mlp_kernel(1, C, "relu", w_std=w, b_std=b, last_w_std=l)
+
+    kernel = NNGPKernel(get_kernel_fn, 1.0, 0.3, 1.0)
+    prior = GaussianPrior() if method == "svgp" else InverseGammaPrior(2.0, 2.0)
+    return SVSP(prior, kernel, z, num_latent_gps=C, eps=1e-4)
+
+
+@pytest.mark.parametrize("method", ["svgp", "svtp"])
+def test_fitted_svsp_matches_test_acc_nll(method):
+    """Same PRNG key + sample count -> identical MC predictive NLL/ACC."""
+    model = _toy_svsp(method)
+    params = model.init_params()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(8, 4).astype(np.float32))
+    y = jnp.asarray(rng.randint(3, size=8))
+    key = jax.random.PRNGKey(42)
+
+    want_nll, want_cc = model.test_acc_nll(params, key, x, y, 64)
+    fitted = fit_svsp(model, params)
+    got_nll, got_cc = fitted.test_acc_nll(key, x, y, 64)
+    np.testing.assert_allclose(float(got_nll), float(want_nll), rtol=3e-5)
+    assert int(got_cc) == int(want_cc)
+
+
+def test_fitted_svsp_proba_and_roundtrip(tmp_path):
+    model = _toy_svsp("svtp")
+    params = model.init_params()
+    x = jnp.asarray(np.random.RandomState(3).randn(5, 4).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    fitted = fit_svsp(model, params)
+    proba = np.asarray(fitted.predict_proba(key, x, num_samples=256))
+    assert proba.shape == (5, 3)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)
+
+    path = tmp_path / "fitted_svsp.npz"
+    fitted.save(path)
+    loaded = FittedSVSP.load(path, model)
+    p2 = np.asarray(loaded.predict_proba(key, x, num_samples=256))
+    np.testing.assert_allclose(p2, proba, rtol=1e-6)
