@@ -424,13 +424,11 @@ def _add_test_parser(subparsers):
 
 
 def test_main(args):
-    import glob
-
     if args.ckpt_index is None:
-        ckpts = sorted(glob.glob(os.path.join(args.ckpt_dir, Checkpointer.FILE_MATCH)))
-        if not ckpts:
+        indices = Checkpointer.list_indices(args.ckpt_dir)
+        if not indices:
             raise SystemExit(f"no checkpoints (*.npz) found in {args.ckpt_dir}")
-        args.ckpt_index = int("".join(ckpts[-1].split("/")[-1].split(".")[:-1]))
+        args.ckpt_index = indices[-1]
 
     (x_test, y_test), (num_class, data_name) = get_test_dataset(
         name=args.data_name, root=args.data_root,

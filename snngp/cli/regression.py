@@ -32,6 +32,7 @@ def add_subparser(subparsers):
     sub = parser.add_subparsers(metavar="ops")
     _add_train_parser(sub)
     _add_test_parser(sub)
+    _add_predict_parser(sub)
     from snngp.cli.find import add_subparser as add_find
     add_find(sub)
 
@@ -327,56 +328,141 @@ def _add_test_parser(subparsers):
     parser.add_argument("-q",  "--quite",      default=False, action="store_true")
 
 
-def test_main(args):
-    import glob
-
+def _restore_model(args):
+    """Checkpoint restore shared by test/predict: latest (or -ci) .npz +
+    meta.npy context -> (model, params, splits, context). Restore is
+    by-variable-name suffix with the reference's back-compat fallbacks
+    (regression/test.py:38-43,89-99)."""
     if args.ckpt_index is None:
-        ckpts = glob.glob(os.path.join(args.ckpt_dir, Checkpointer.FILE_MATCH))
-        if not ckpts:
+        indices = Checkpointer.list_indices(args.ckpt_dir)
+        if not indices:
             raise SystemExit(f"no checkpoints (*.npz) found in {args.ckpt_dir}")
-        args.ckpt_index = sorted(
-            int("".join(c.split("/")[-1].split(".")[:-1])) for c in ckpts)[-1]
+        args.ckpt_index = indices[-1]
 
     named = load_named(os.path.join(args.ckpt_dir,
                                     Checkpointer.FILE_FORMAT.format(args.ckpt_index)))
     context = np.load(os.path.join(args.ckpt_dir, "meta.npy"),
                       allow_pickle=True).item()["args"]
 
+    splits = _load_splits(context["data_name"], args.data_root, args.seed)
+    (x_train, y_train), _, _, (y_std, y_mean) = splits
+
+    a = get_by_suffix(named, "a")
+    b = get_by_suffix(named, "b")
+    w_std = get_by_suffix(named, "w_std")
+    b_std = get_by_suffix(named, "b_std")
+    last_w_std = get_by_suffix(named, "last_w_std")
+    eps = get_by_suffix(named, "eps")
+    if eps is None:
+        eps = get_by_suffix(named, "diag_reg")
+    if last_w_std is None:
+        last_w_std = np.array(context["last_w_std"])
+
+    args_like = dict(context)
+    args_like["epsilon"] = 1.0
+    if context["method"] == "tp":
+        args_like["alpha"], args_like["beta"] = 1.0, 1.0
+    model, _ = _build_model(args_like, x_train, y_train, y_mean, y_std)
+    params = model.init_params()
+
+    # Values in the checkpoint are raw (unconstrained), assigned directly
+    # like objax .assign (regression/test.py:118-131).
+    for key, value in [("eps", eps), ("w_std", w_std), ("b_std", b_std),
+                       ("last_w_std", last_w_std), ("a", a), ("b", b)]:
+        if value is not None:
+            assign_by_suffix(params, key, value)
+
+    return model, params, splits, context
+
+
+def test_main(args):
     logger = Logger(os.path.join(args.ckpt_dir, "test"), "test.log", quite=args.quite)
 
     try:
-        (x_train, y_train), _, (x_test, y_test), (y_std, y_mean) = \
-            _load_splits(context["data_name"], args.data_root, args.seed)
-
-        # Restore-by-suffix with the reference's back-compat fallbacks
-        # (regression/test.py:89-99).
-        a = get_by_suffix(named, "a")
-        b = get_by_suffix(named, "b")
-        w_std = get_by_suffix(named, "w_std")
-        b_std = get_by_suffix(named, "b_std")
-        last_w_std = get_by_suffix(named, "last_w_std")
-        eps = get_by_suffix(named, "eps")
-        if eps is None:
-            eps = get_by_suffix(named, "diag_reg")
-        if last_w_std is None:
-            last_w_std = np.array(context["last_w_std"])
-
-        args_like = dict(context)
-        args_like["epsilon"] = 1.0
-        if context["method"] == "tp":
-            args_like["alpha"], args_like["beta"] = 1.0, 1.0
-        model, _ = _build_model(args_like, x_train, y_train, y_mean, y_std)
-        params = model.init_params()
-
-        # Values in the checkpoint are raw (unconstrained), assigned directly
-        # like objax .assign (regression/test.py:118-131).
-        for key, value in [("eps", eps), ("w_std", w_std), ("b_std", b_std),
-                           ("last_w_std", last_w_std), ("a", a), ("b", b)]:
-            if value is not None:
-                assign_by_suffix(params, key, value)
+        model, params, splits, _ = _restore_model(args)
+        _, _, (x_test, y_test), _ = splits
 
         test_nll = jax.jit(lambda p: model.test_nll(p, x_test, y_test))(params)
         logger.log(f"NLL: {test_nll:.5f}")
+
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        import traceback
+        logger.log(f"\n{traceback.format_exc()}\nStopped")
+    finally:
+        logger.close()
+
+
+# ---------------------------------------------------------------------------
+# predict (serving path; beyond the reference, which only has test)
+# ---------------------------------------------------------------------------
+
+def _add_predict_parser(subparsers):
+    parser = subparsers.add_parser("predict", aliases=["pr"])
+    parser.set_defaults(func=predict_main)
+
+    parser.add_argument("-dr", "--data-root",  type=str, default="./data")
+    parser.add_argument("-cd", "--ckpt-dir",   type=str, required=True)
+    parser.add_argument("-ci", "--ckpt-index", type=int, default=None)
+    parser.add_argument("-s",  "--seed",       type=int, default=10)
+    parser.add_argument("-i",  "--input",      type=str, default=None,
+                        help=".npy of raw inputs in the dataset's original "
+                             "feature space (normalized with the train-split "
+                             "stats); default = held-out test split")
+    parser.add_argument("-o",  "--output",     type=str, default=None,
+                        help="output .npz of de-normalized (mean, var); "
+                             "default <ckpt_dir>/predictions.npz")
+    parser.add_argument("-fs", "--fitted-state", type=str, default=None,
+                        help="path for the fitted solve cache: loaded if it "
+                             "exists, written after fitting otherwise — "
+                             "repeat predictions skip the N x N factorization")
+    parser.add_argument("-q",  "--quite",      default=False, action="store_true")
+
+
+def _train_x_stats(data_name, data_root):
+    """(x_mean, x_std) of the train split — the exact stats split_dataset
+    normalized with (data.py:277-282), for normalizing raw serving inputs."""
+    x, y = get_dataset(name=data_name, root=data_root)
+    x, _ = permute_dataset(x, y, seed=10)
+    x_train = x[:int(0.8 * len(x))]
+    return np.mean(x_train, axis=0), np.std(x_train, axis=0)
+
+
+def predict_main(args):
+    from snngp.models import FittedSPR, fit_spr
+
+    logger = Logger(os.path.join(args.ckpt_dir, "predict"), "predict.log",
+                    quite=args.quite)
+    try:
+        model, params, splits, context = _restore_model(args)
+        _, _, (x_test, y_test), _ = splits
+
+        if args.fitted_state and os.path.exists(args.fitted_state):
+            fitted = FittedSPR.load(args.fitted_state, model)
+            logger.log(f"loaded fitted state from {args.fitted_state}")
+        else:
+            fitted = fit_spr(model, params)
+            if args.fitted_state:
+                fitted.save(args.fitted_state)
+                logger.log(f"saved fitted state to {args.fitted_state}")
+
+        if args.input:
+            x_raw = np.load(args.input)
+            x_mean, x_std = _train_x_stats(context["data_name"], args.data_root)
+            x_in = jnp.asarray(np.nan_to_num((x_raw - x_mean) / x_std),
+                               jnp.float32)
+            y_eval = None
+        else:
+            x_in, y_eval = x_test, y_test
+
+        mean, var = jax.jit(fitted.predict)(x_in)
+        out = args.output or os.path.join(args.ckpt_dir, "predictions.npz")
+        np.savez(out, mean=np.asarray(mean), var=np.asarray(var))
+        logger.log(f"predicted {mean.shape[0]} points -> {out}")
+        if y_eval is not None:
+            nll = jax.jit(fitted.test_nll)(x_in, y_eval)
+            logger.log(f"NLL: {float(nll):.5f}")
 
     except KeyboardInterrupt:
         raise

@@ -117,13 +117,20 @@ class FittedSPR:
         return -jnp.mean(log_prob)
 
     def _posterior(self, x):
-        """Normalized posterior mean + variance diagonal ([n], [n])."""
+        """Normalized posterior mean + variance diagonal ([n], [n]).
+
+        The variance is diag(k_tt - v^T v) — the full-covariance form
+        ``gp_predict`` uses — NOT the cheaper diag(k_tt) - sum(v*v): when the
+        posterior variance is tiny the subtraction cancels catastrophically
+        in fp32 and the two orderings diverge at ~1e-3 relative, breaking
+        parity with ``SPR.test_nll``.
+        """
         model, s = self.model, self.state
         k_td = model.kernel.K(self._kernel_fn, x, model.x_data)  # [n, N]
         mean = (k_td @ s["alpha"]).flatten()
         v = solve_triangular(s["chol"], k_td.T, lower=True)      # [N, n]
         k_tt = model.kernel.K(self._kernel_fn, x)                # [n, n]
-        var = jnp.diag(k_tt) - jnp.sum(v * v, axis=0)
+        var = jnp.diag(k_tt - v.T @ v)
         return mean, var
 
     # -- persistence ------------------------------------------------------

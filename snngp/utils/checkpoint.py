@@ -51,10 +51,25 @@ class Checkpointer:
             os.makedirs(logdir, exist_ok=True)
         self.best_loss = float("inf")
 
+    @classmethod
+    def list_indices(cls, logdir: str):
+        """Sorted integer indices of checkpoint files in ``logdir``.
+
+        Only numeric-stem ``.npz`` files count — the directory may also hold
+        non-checkpoint artifacts (e.g. a ``fitted.npz`` serving cache), which
+        must be neither restored from nor pruned.
+        """
+        out = []
+        for path in glob.glob(os.path.join(logdir, cls.FILE_MATCH)):
+            stem = os.path.basename(path).rsplit(".", 1)[0]
+            if stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
     def save(self, idx: int, params) -> None:
         save_params(os.path.join(self.logdir, self.FILE_FORMAT.format(idx)), params)
-        for ckpt in sorted(glob.glob(os.path.join(self.logdir, self.FILE_MATCH)))[:-self.keep_ckpts]:
-            os.remove(ckpt)
+        for old in self.list_indices(self.logdir)[:-self.keep_ckpts]:
+            os.remove(os.path.join(self.logdir, self.FILE_FORMAT.format(old)))
 
     def step(self, idx: int, loss: float, params) -> bool:
         if loss < self.best_loss:

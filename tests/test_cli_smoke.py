@@ -32,6 +32,28 @@ def test_regression_train_then_test(tmp_path):
     test_log = open(os.path.join(ckpt_dir, "test", "test.log")).read()
     assert "NLL:" in test_log and "Traceback" not in test_log
 
+    # predict (serving path): fitted NLL on the test split must equal the
+    # test subcommand's per-request NLL, and the fitted-state cache must be
+    # written then reused on a second request.
+    fitted_path = os.path.join(ckpt_dir, "fitted.npz")
+    _run_cli(["reg", "pr", "-cd", ckpt_dir, "-fs", fitted_path, "-q"])
+    pred_log = open(os.path.join(ckpt_dir, "predict", "predict.log")).read()
+    assert "Traceback" not in pred_log and os.path.isfile(fitted_path)
+    preds = np.load(os.path.join(ckpt_dir, "predictions.npz"))
+    assert preds["mean"].shape == preds["var"].shape
+    assert np.all(np.isfinite(preds["mean"])) and np.all(preds["var"] > 0)
+    nll_test = float(test_log.split("NLL:")[-1].split()[0])
+    nll_pred = float(pred_log.split("NLL:")[-1].split()[0])
+    # rtol 5e-3: un-jitted, FittedSPR.test_nll equals SPR.test_nll exactly
+    # (test_predictor.py pins 3e-5); across two *different jitted programs*
+    # the syn-normal Gram's near-singular predictive variances (~1e-5)
+    # amplify XLA fusion reassociation to ~1e-3 relative on the NLL.
+    np.testing.assert_allclose(nll_pred, nll_test, rtol=5e-3)
+
+    _run_cli(["reg", "pr", "-cd", ckpt_dir, "-fs", fitted_path, "-q"])
+    pred_log2 = open(os.path.join(ckpt_dir, "predict", "predict.log")).read()
+    assert "loaded fitted state" in pred_log2 and "Traceback" not in pred_log2
+
 
 def test_regression_train_gp_smoke(tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
