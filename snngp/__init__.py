@@ -43,9 +43,29 @@ if "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ:
 # explicit JAX_COMPILATION_CACHE_DIR; set it empty to disable. Backends whose
 # PJRT client cannot serialize executables simply skip the cache (JAX logs
 # a warning, nothing breaks).
+def _host_fingerprint():
+    # XLA:CPU AOT executables bake in the compile host's ISA features, but
+    # the persistent-cache key does NOT include them: a cache written on one
+    # VM host and read after a migration loads mismatched AOT code (XLA
+    # E-logs "could lead to execution errors such as SIGILL"). Keying the
+    # default cache dir on the cpuinfo flags line makes each host population
+    # self-consistent; TPU entries are host-independent and just recompile
+    # once per new host.
+    try:
+        import hashlib
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 _cache_dir = _os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "snngp-xla"))
+    _os.path.join(_os.path.expanduser("~"), ".cache",
+                  f"snngp-xla-{_host_fingerprint()}"))
 if _cache_dir:
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
     # Default thresholds skip sub-second compiles and small executables;
