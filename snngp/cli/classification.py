@@ -32,6 +32,7 @@ def add_subparser(subparsers):
     sub = parser.add_subparsers(metavar="ops")
     _add_train_parser(sub)
     _add_test_parser(sub)
+    _add_predict_parser(sub)
 
 
 def _add_train_parser(subparsers):
@@ -423,17 +424,15 @@ def _add_test_parser(subparsers):
     parser.add_argument("-q",  "--quite",      default=False, action="store_true")
 
 
-def test_main(args):
+def _restore_svsp(args, num_class):
+    """Checkpoint restore shared by test/predict: latest (or -ci) .npz +
+    meta.npy -> (model, params, context). Raw (unconstrained) values restored
+    directly (classification/test.py:129-144)."""
     if args.ckpt_index is None:
         indices = Checkpointer.list_indices(args.ckpt_dir)
         if not indices:
             raise SystemExit(f"no checkpoints (*.npz) found in {args.ckpt_dir}")
         args.ckpt_index = indices[-1]
-
-    (x_test, y_test), (num_class, data_name) = get_test_dataset(
-        name=args.data_name, root=args.data_root,
-        num_data=args.num_data, normalize=True,
-    )
 
     named = load_named(os.path.join(args.ckpt_dir,
                                     Checkpointer.FILE_FORMAT.format(args.ckpt_index)))
@@ -450,26 +449,14 @@ def test_main(args):
     q_sqrt = get_by_suffix(named, "q_sqrt")
 
     method = context["method"]
-    network = context["network"]
     if last_w_std is None:
         last_w_std = np.array(context["last_w_std"])
 
-    log_dir = os.path.join(args.ckpt_dir, "test")
-    log_name = f"{method}-{network}-{data_name.replace('/', '-')}-{args.ckpt_index}.log"
-    logger = Logger(log_dir, log_name, quite=args.quite)
-
-    # Resize test inputs to the inducing-point resolution
-    # (classification/test.py:112-114).
-    h, w, c = inducing_points.shape[1:]
-    x_test = np.asarray(jax.image.resize(
-        jnp.asarray(x_test), (x_test.shape[0], h, w, c), method="bilinear"))
-
-    model = _make_model(method, network, context["num_hiddens"],
+    model = _make_model(method, context["network"], context["num_hiddens"],
                         context["activation"], 0., 0., 0.,
                         context.get("alpha", 2.), context.get("beta", 2.),
                         num_class, inducing_points, 1e-6)
     params = model.init_params()
-    # Raw (unconstrained) values restored directly (classification/test.py:129-144).
     params["kernel"]["w_std"] = jnp.asarray(w_std)
     params["kernel"]["b_std"] = jnp.asarray(b_std)
     params["kernel"]["last_w_std"] = jnp.asarray(last_w_std)
@@ -481,6 +468,31 @@ def test_main(args):
     if method == "svtp":
         params["prior"]["a"] = jnp.asarray(a)
         params["prior"]["b"] = jnp.asarray(b)
+    return model, params, context
+
+
+def _resize_to_inducing(x, inducing_points):
+    """Resize inputs to the inducing-point resolution
+    (classification/test.py:112-114)."""
+    h, w, c = inducing_points.shape[1:]
+    return np.asarray(jax.image.resize(
+        jnp.asarray(x), (x.shape[0], h, w, c), method="bilinear"))
+
+
+def test_main(args):
+    (x_test, y_test), (num_class, data_name) = get_test_dataset(
+        name=args.data_name, root=args.data_root,
+        num_data=args.num_data, normalize=True,
+    )
+
+    model, params, context = _restore_svsp(args, num_class)
+    method, network = context["method"], context["network"]
+
+    log_dir = os.path.join(args.ckpt_dir, "test")
+    log_name = f"{method}-{network}-{data_name.replace('/', '-')}-{args.ckpt_index}.log"
+    logger = Logger(log_dir, log_name, quite=args.quite)
+
+    x_test = _resize_to_inducing(x_test, params["inducing_variable"])
 
     logger.log(f"Data: {data_name}")
     logger.log(f"Epoch: {args.ckpt_index}")
@@ -505,3 +517,86 @@ def test_main(args):
     test_acc = corrects * 100 / test_loader.num_data
     logger.log(f"NLL: {test_nll:.5f}  ACC: {test_acc:.2f}\n")
     logger.close()
+
+
+# ---------------------------------------------------------------------------
+# predict (serving path; beyond the reference, which only has test)
+# ---------------------------------------------------------------------------
+
+def _add_predict_parser(subparsers):
+    parser = subparsers.add_parser("predict", aliases=["pr"])
+    parser.set_defaults(func=predict_main)
+
+    parser.add_argument("-dr", "--data-root",  type=str, default="./data")
+    parser.add_argument("-dn", "--data-name",  required=True)
+    parser.add_argument("-cd", "--ckpt-dir",   type=str, required=True)
+    parser.add_argument("-ci", "--ckpt-index", type=int, default=None)
+    parser.add_argument("-nd", "--num-data",   type=int, default=None)
+    parser.add_argument("-nb", "--num-batch",  type=int, default=100)
+    parser.add_argument("-ns", "--num-sample", type=int, default=10000)
+    parser.add_argument("-i",  "--input",      type=str, default=None,
+                        help=".npy of [N, H, W, C] images already normalized "
+                             "like the training data; default = test split")
+    parser.add_argument("-o",  "--output",     type=str, default=None,
+                        help="output .npz of class probabilities [N, C]; "
+                             "default <ckpt_dir>/predictions.npz")
+    parser.add_argument("-s",  "--seed",       type=int, default=10)
+    parser.add_argument("-q",  "--quite",      default=False, action="store_true")
+
+
+def predict_main(args):
+    from snngp.models import fit_svsp
+
+    (x_test, y_test), (num_class, data_name) = get_test_dataset(
+        name=args.data_name, root=args.data_root,
+        num_data=args.num_data, normalize=True,
+    )
+    model, params, context = _restore_svsp(args, num_class)
+
+    logger = Logger(os.path.join(args.ckpt_dir, "predict"), "predict.log",
+                    quite=args.quite)
+    try:
+        if args.input:
+            x_in, y_eval = np.load(args.input), None
+        else:
+            x_in, y_eval = x_test, y_test
+        x_in = _resize_to_inducing(x_in, params["inducing_variable"])
+
+        fitted = fit_svsp(model, params)
+
+        @jax.jit
+        def proba_step(key, x_batch):
+            return fitted.predict_proba(key, x_batch, args.num_sample)
+
+        @jax.jit
+        def eval_step(key, x_batch, y_batch):
+            return fitted.test_acc_nll(key, x_batch, y_batch, args.num_sample)
+
+        key = random.PRNGKey(args.seed)
+        probas, nll_sum, corrects = [], 0.0, 0
+        for start in range(0, x_in.shape[0], args.num_batch):
+            stop = min(start + args.num_batch, x_in.shape[0])
+            xb = jnp.asarray(x_in[start:stop])
+            key, split_key = random.split(key)
+            probas.append(np.asarray(proba_step(split_key, xb)))
+            if y_eval is not None:
+                yb = jnp.asarray(y_eval[start:stop])
+                nll, cc = eval_step(split_key, xb, yb)
+                nll_sum += float(nll) * xb.shape[0]
+                corrects += int(cc)
+
+        proba = np.concatenate(probas, axis=0)
+        out = args.output or os.path.join(args.ckpt_dir, "predictions.npz")
+        np.savez(out, proba=proba, label=np.argmax(proba, axis=1))
+        logger.log(f"predicted {proba.shape[0]} points -> {out}")
+        if y_eval is not None:
+            n = x_in.shape[0]
+            logger.log(f"NLL: {nll_sum / n:.5f}  ACC: {corrects * 100 / n:.2f}\n")
+
+    except KeyboardInterrupt:
+        raise
+    except Exception:
+        import traceback
+        logger.log(f"\n{traceback.format_exc()}\nStopped")
+    finally:
+        logger.close()

@@ -86,6 +86,17 @@ def test_classification_train_then_test(tmp_path):
     content = open(test_logs[0]).read()
     assert "ACC:" in content and "Traceback" not in content
 
+    # predict (serving path): class probabilities over the test split, same
+    # MC-predictive NLL/ACC estimator as cls ts but through the fitted
+    # (hoisted-solves) model.
+    _run_cli(["cls", "pr", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "100", "-nb", "50", "-ns", "64", "-q"])
+    pred_log = open(os.path.join(ckpt_dir, "predict", "predict.log")).read()
+    assert "ACC:" in pred_log and "Traceback" not in pred_log
+    preds = np.load(os.path.join(ckpt_dir, "predictions.npz"))
+    assert preds["proba"].shape[0] == 100 and preds["label"].shape == (100,)
+    np.testing.assert_allclose(preds["proba"].sum(axis=1), 1.0, rtol=1e-4)
+
 
 @pytest.mark.slow
 def test_classification_resize_roundtrip(tmp_path):
