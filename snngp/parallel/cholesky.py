@@ -27,7 +27,8 @@ from jax.sharding import Mesh, PartitionSpec as Pspec
 
 from snngp.parallel.mesh import row_sharding
 
-__all__ = ["blocked_cholesky", "cyclic_cholesky", "distributed_cholesky"]
+__all__ = ["blocked_cholesky", "inplace_blocked_cholesky", "cyclic_cholesky",
+           "distributed_cholesky"]
 
 
 @partial(jax.jit, static_argnames=("block", "panel_inverse"))
@@ -110,6 +111,108 @@ def blocked_cholesky(a: jax.Array, block: Optional[int] = None,
             work = rest
         out = lax.dynamic_update_slice(out, strip, (k * block, k * block))
     return out[:n0, :n0]
+
+
+@partial(jax.jit, static_argnames=("block",), donate_argnums=0)
+def inplace_blocked_cholesky(a: jax.Array,
+                             block: Optional[int] = None) -> jax.Array:
+    """Memory-lean blocked Cholesky: factors ``a`` inside its own buffer.
+
+    Right-looking panel factorization structured as a ``lax.fori_loop``
+    whose carry IS the [n, n] matrix — XLA updates while-loop carries in
+    place, so peak HBM is ~n^2 + a few [n, b] panels, instead of the ~2-3
+    n^2 of any out-of-place kernel (a flat unrolled update chain was tried
+    first and still OOMed at 18 GB: buffer assignment left a full-matrix
+    layout copy / 49.9% heap fragmentation; the loop-carry form is the
+    aliasing XLA actually guarantees).
+
+    This is what makes north-star-size factorizations fit on a single chip:
+    at n = 49152 a fp32 Gram is 9.7 GB — ``jnp.linalg.cholesky`` (or any
+    out-of-place kernel) needs input + output and OOMs a 16 GB v5e, while
+    this kernel runs in ~10 GB (measured: RESULTS.md round 3). Matches the
+    reference's factorization sites (spax/models.py:40, spax/utils.py:138)
+    at scales the reference's torch/GPU stack cannot hold on one device.
+
+    Loop bodies need static slice shapes, so every step works on fixed-size
+    full-width [b, n] ROW panels with column masks. Row panels are the
+    layout-critical choice: they are contiguous in the default row-major
+    layout, so the loop carry keeps the donated buffer's layout and no
+    full-matrix layout-conversion copy is inserted (the column-panel form
+    made XLA pick a column-major carry and transpose-copy the 9.7 GB input
+    — a second OOM mode; see RESULTS.md round 3). Consequently the kernel
+    computes the UPPER factor U = L^T (A = U^T U, row panels of U are
+    column panels of L): the solved panel is zeroed left of the diagonal
+    block, which makes the trailing updates mask-free (zero columns
+    contribute zero update) and leaves the buffer exactly
+    upper-triangular on exit — no final masking pass. The fixed-width
+    updates spend ~3x the multiplies of the shrinking-slice form, but at
+    true-fp32 MXU rate that is seconds at n = 49k, and memory — not flops
+    — is the binding constraint here. The dynamic loop also compiles in
+    seconds (no unrolling: O(1) HLO ops).
+
+    The caller's array is invalidated (donated). Returns the UPPER
+    Cholesky factor ``u`` with the strict lower triangle zeroed —
+    ``u.T`` is ``jnp.linalg.cholesky``'s lower factor; solve with
+    ``cho_solve((u, False), y)`` / ``solve_triangular(u, y, lower=False,
+    trans=1)``, and ``logdet = 2 sum(log(diag(u)))``. (Returning U rather
+    than transposing to L is deliberate: at the sizes this kernel exists
+    for, a final transpose is another full-size buffer.)
+    Non-block-multiple sizes are identity-padded and sliced back (the pad
+    briefly doubles peak memory — at the sizes where this kernel matters,
+    pass a block that divides n, e.g. the default 1024/2048 for n a
+    multiple of 4096).
+    """
+    n0 = a.shape[-1]
+    if block is None:
+        block = min(1024, n0)
+    block = min(block, n0)
+    pad = (-n0) % block
+    if pad:
+        a = jnp.pad(a, ((0, pad), (0, pad)))
+        a = a.at[jnp.arange(n0, n0 + pad), jnp.arange(n0, n0 + pad)].set(1.0)
+    n = a.shape[-1]
+    nb = n // block
+    cols = lax.iota(jnp.int32, n)[None, :]                     # [1, n]
+
+    # [nb, b, n] view of the row-major buffer (a bitcast, not a copy).
+    # Leading-dim dynamic_update_slice on a loop carry is the dus pattern
+    # XLA's copy-insertion provably keeps in place: measured temp memory is
+    # ~3 [b, n] panels, where interior-offset [b, n] updates on the flat
+    # [n, n] carry still left a full-matrix copy (RESULTS.md round 3).
+    a3 = a.reshape(nb, block, n)
+
+    def step(k, a3):
+        off = k * block
+        row = lax.dynamic_slice(a3, (k, 0, 0), (1, block, n))[0]
+        lkk = jnp.linalg.cholesky(
+            lax.dynamic_slice(row, (0, off), (block, block)))
+        # U_kk^T U_k,rest = A_k,rest with U_kk^T = lkk: a left-side lower
+        # trsm solves each column independently; columns outside the
+        # right-of-panel region are solved too and then masked off.
+        sol = lax.linalg.triangular_solve(
+            lkk, row, left_side=True, lower=True)
+        right = cols >= off + block
+        within = (cols >= off) & (cols < off + block)
+        pan = jnp.where(right, sol, 0.0)                       # [b, n]
+        ukk_emb = lax.dynamic_update_slice(
+            jnp.zeros_like(row), lkk.T, (0, off))
+        # Row after its own panel step: zeros left, U_kk inside, U_k,rest
+        # right — already the final upper-triangular layout.
+        a3 = lax.dynamic_update_slice(
+            a3, jnp.where(within, ukk_emb, pan)[None], (k, 0, 0))
+
+        def update_row(j, a3):
+            # Subtract pan_j^T @ pan from row block j. pan columns left of
+            # the active panel are zero, so no column mask is needed.
+            pj = lax.dynamic_slice(pan, (0, j * block), (block, block))
+            rowj = lax.dynamic_slice(a3, (j, 0, 0), (1, block, n))[0]
+            return lax.dynamic_update_slice(
+                a3, (rowj - pj.T @ pan)[None], (j, 0, 0))
+
+        return lax.fori_loop(k + 1, nb, update_row, a3)
+
+    a = lax.fori_loop(0, nb, step, a3).reshape(n, n)
+    return a[:n0, :n0] if pad else a
 
 
 def cyclic_cholesky(a: jax.Array, mesh: Mesh, block: int = 512,

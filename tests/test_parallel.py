@@ -306,3 +306,32 @@ def test_spr_mesh_pads_non_divisible_n():
     l1 = float(jax.jit(single.loss)(p))
     l2 = float(jax.jit(dist.loss)(p))
     np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+def test_inplace_blocked_cholesky_upper_factor():
+    """fori-loop in-place kernel returns the UPPER factor U = L^T with the
+    strict lower triangle zeroed (memory-lean contract: factors north-star
+    Grams inside their own donated buffer; RESULTS.md round 3)."""
+    from snngp.parallel.cholesky import inplace_blocked_cholesky
+    for n, b in [(256, 64), (300, 64), (192, 128), (64, 64), (512, None)]:
+        a = _psd(n, seed=3)
+        want = np.asarray(jnp.linalg.cholesky(a)).T
+        got = np.asarray(inplace_blocked_cholesky(a, block=b))  # donates a
+        assert np.allclose(got, np.triu(got)), "lower triangle not zeroed"
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_inplace_blocked_cholesky_solves_and_logdet():
+    """Upper-factor consumption pattern used by the serving/predictive
+    paths: cho_solve((u, False)) and 2*sum(log(diag(u)))."""
+    from jax.scipy.linalg import cho_solve
+    from snngp.parallel.cholesky import inplace_blocked_cholesky
+    a = _psd(256, seed=4)
+    y = jnp.asarray(np.random.RandomState(0).randn(256, 3).astype(np.float32))
+    want = jnp.linalg.solve(a, y)
+    _, want_ld = jnp.linalg.slogdet(a)
+    u = inplace_blocked_cholesky(a, block=64)  # donates a
+    np.testing.assert_allclose(np.asarray(cho_solve((u, False), y)),
+                               np.asarray(want), atol=2e-3)
+    ld = 2 * jnp.sum(jnp.log(jnp.diagonal(u)))
+    np.testing.assert_allclose(float(ld), float(want_ld), rtol=1e-5)
