@@ -126,14 +126,18 @@ def main():
                          "with the same directory skips completed blocks "
                          "(remote TPU workers die transiently — at "
                          "north-star sizes the assembly is hours)")
-    ap.add_argument("--chol", choices=["auto", "xla", "blocked"],
+    ap.add_argument("--chol", choices=["auto", "xla", "blocked", "inplace"],
                     default="auto",
                     help="factorization kernel: snngp's blocked right-looking"
-                         " Cholesky or XLA's monolithic op. auto = blocked at"
-                         " N >= 4096 (XLA's op has a pathological first-run"
-                         " cost at some large shapes — 185 s at N=8192, 569 s"
-                         " at N=24576 measured on v5e, RESULTS.md round 3 —"
-                         " while the blocked kernel's is 2-6 s)")
+                         " Cholesky, XLA's monolithic op, or the memory-lean"
+                         " in-place kernel (donates the Gram, factors inside"
+                         " its own buffer — the only one that fits the 50k"
+                         " north star on a 16 GB chip, 5.3 s measured)."
+                         " auto = inplace at N >= 32768 (single device),"
+                         " blocked at N >= 4096 (XLA's op has a pathological"
+                         " first-run cost at some large shapes — 185 s at"
+                         " N=8192, 569 s at N=24576 on v5e — while the"
+                         " blocked kernel's is 2-6 s)")
     args = ap.parse_args()
 
     x, y = load_images(args.n_train + args.n_test, args.image_size, seed=0)
@@ -209,9 +213,30 @@ def main():
     with prof.phase("gram_test"):
         k_tt = prof.observe(gram(x_test, x_test, True, "test"))
 
-    use_blocked = (args.chol == "blocked"
-                   or (args.chol == "auto" and args.n_train >= 4096))
-    if use_blocked:
+    # Factorization routing: the memory-lean in-place kernel is MANDATORY
+    # above ~40k on a 16 GB chip (any out-of-place factorization needs
+    # input + output ~= 2 n^2 and OOMs; RESULTS.md round 3 measured the
+    # 50k x 50k Gram factoring in 5.3 s this way), picked from 32768 up for
+    # margin. It donates the Gram and returns the UPPER factor U = L^T.
+    use_inplace = (args.chol == "inplace"
+                   or (args.chol == "auto" and args.n_train >= 32768
+                       and mesh is None))
+    use_blocked = not use_inplace and (
+        args.chol == "blocked"
+        or (args.chol == "auto" and args.n_train >= 4096))
+    chol_lower = not use_inplace
+    if use_inplace:
+        from functools import partial as _partial
+
+        from snngp.parallel.cholesky import inplace_blocked_cholesky
+
+        @_partial(jax.jit, donate_argnums=0)
+        def chol_kernel(k):
+            # Jitter inside the donating jit: the add aliases the donated
+            # Gram, so peak HBM stays ~n^2 (a separate jittered copy would
+            # put 2 n^2 back on the table).
+            return inplace_blocked_cholesky(add_jitter(k, args.eps))
+    elif use_blocked:
         from snngp.parallel.cholesky import blocked_cholesky
         chol_kernel = lambda k: blocked_cholesky(add_jitter(k, args.eps))
     else:
@@ -219,6 +244,8 @@ def main():
             lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))
     with prof.phase("cholesky"):
         chol = prof.observe(chol_kernel(k_dd))
+    if use_inplace:
+        del k_dd                                 # donated: buffer is gone
 
     # One jitted computation for the whole predictive: eager per-op dispatch
     # costs ~1 s of tunnel latency *per op* plus a compile each, which
@@ -226,12 +253,20 @@ def main():
     @jax.jit
     def predictive(chol, k_td, k_tt, y_train, y_test):
         from jax.scipy.linalg import cho_solve, solve_triangular
-        mean = k_td @ cho_solve((chol, True), y_train)
-        v = solve_triangular(chol, k_td.T, lower=True)
+        mean = k_td @ cho_solve((chol, chol_lower), y_train)
+        if chol_lower:
+            v = solve_triangular(chol, k_td.T, lower=True)
+            quad = chol_quad_form(chol, y_train)
+        else:
+            # Upper factor U = L^T from the in-place kernel: L^{-1} x is
+            # U^{-T} x, i.e. a transposed upper solve.
+            v = solve_triangular(chol, k_td.T, lower=False, trans=1)
+            alpha = solve_triangular(chol, y_train, lower=False, trans=1)
+            quad = jnp.sum(alpha * alpha)
         cov = k_tt - v.T @ v
         # Student-t process predictive: conditional-t scale inflation.
         df = 2 * args.alpha
-        d = df + chol_quad_form(chol, y_train)
+        d = df + quad
         cond_df = df + args.n_train
         t_cov = (d / cond_df) * (args.beta / args.alpha) * cov
         t_jit = 1e-4 + (1e-2 if bf16_effective else 0.0)
