@@ -63,6 +63,17 @@ def _add_train_parser(subparsers):
     parser.add_argument("-s",   "--seed",         type=int, default=10)
     parser.add_argument("-q",   "--quite",        default=False, action="store_true")
     parser.add_argument("-c",   "--comment",      type=str, default="")
+    parser.add_argument("-mp",  "--matmul-precision",
+                        choices=["highest", "high", "default"],
+                        default="highest",
+                        help="matmul precision for the finite-network "
+                        "train/valid steps. snngp pins 'highest' (true "
+                        "fp32) globally because GP Grams need it, but "
+                        "finite-SGD ensemble training does not: 'default' "
+                        "uses the TPU MXU's fast bf16 passes (~6x the "
+                        "fp32 matmul rate on v5e; RESULTS.md round 3) at "
+                        "NN-training-grade numerics. 'highest' matches "
+                        "the reference's fp32 CUDA training bit-for-ulp")
 
 
 def invgamma(key, alpha, beta):
@@ -83,6 +94,13 @@ def cross_entropy(logits, y):
 
 
 def train_main(args):
+    # Scope the precision override to this driver: jitted steps trace
+    # (and therefore bake in the precision) inside the context.
+    with jax.default_matmul_precision(args.matmul_precision):
+        return _train_main(args)
+
+
+def _train_main(args):
     dataset = get_train_dataset(
         name=args.data_name, root=args.data_root,
         num_data=args.num_data, valid_prop=args.valid_prop,
@@ -202,6 +220,11 @@ def train_main(args):
 def _add_test_parser(subparsers):
     parser = subparsers.add_parser("test", aliases=["ts"])
     parser.set_defaults(func=test_main)
+    parser.add_argument("-mp", "--matmul-precision",
+                        choices=["highest", "high", "default"],
+                        default="highest",
+                        help="matmul precision for member-logit evaluation "
+                        "(see ens tr -mp)")
 
     parser.add_argument("-dr", "--data-root", type=str, default="./data")
     parser.add_argument("-dn", "--data-name", required=True)
@@ -212,6 +235,11 @@ def _add_test_parser(subparsers):
 
 
 def test_main(args):
+    with jax.default_matmul_precision(args.matmul_precision):
+        return _test_main(args)
+
+
+def _test_main(args):
     (x_test, y_test), (num_class, data_name) = get_test_dataset(
         name=args.data_name, root=args.data_root,
         num_data=args.num_data, onehot=True, normalize=True,
