@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy import stats
@@ -37,7 +38,7 @@ from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_quad_form,
 __all__ = ["fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP"]
 
 
-def fit_spr(model, params) -> "FittedSPR":
+def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
     """One-time train-side solve for an :class:`snngp.models.gp.SPR`.
 
     Computes the train Gram (row-sharded over the model's mesh when one is
@@ -46,9 +47,59 @@ def fit_spr(model, params) -> "FittedSPR":
     data-dependent scale ``d`` (``spax/likelihoods.py:52-65``), which depend
     only on train data. Uses the model's ``chol_fn`` (distributed blocked
     factorization on a mesh) for every factorization.
+
+    ``memory_lean=True`` targets single-device Grams too big for the
+    default path's working set (which holds K plus up to two factors —
+    3 n^2; at the 50k north star that is ~29 GB, far past a 16 GB v5e).
+    The Gram is staged once to host RAM, and each factorization runs
+    through :func:`snngp.parallel.cholesky.inplace_blocked_cholesky`
+    (donated buffer, ~n^2 + panels peak), re-uploading K between the
+    Student-t and main factorizations so only ONE full-size device buffer
+    ever exists. The fitted state then carries the UPPER factor
+    (``chol_lower = 0``) and every solve in :class:`FittedSPR` branches
+    accordingly. Same numerics as the default path (tested to fp32
+    resolution); costs two extra host<->device transfers of K.
     """
     eps = P.constrained_read(params["eps"], model.bij)
     kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    lik_params = params["likelihood"]
+    require = model.likelihood.require
+
+    if memory_lean:
+        from functools import partial
+
+        from snngp.parallel.cholesky import inplace_blocked_cholesky
+
+        k_host = np.asarray(model._gram(kernel_fn))             # stage to host
+
+        state = {
+            "y_mean": jnp.asarray(model.y_mean, jnp.float32),
+            "y_std": jnp.asarray(model.y_std, jnp.float32),
+            "chol_lower": jnp.asarray(0, jnp.int32),
+        }
+        if require:  # Student-t factorization first; freed before the main one
+            a, b = model.likelihood._ab(lik_params)
+            df = 2.0 * a
+            scale = float(b / a)
+            u_t = jax.jit(
+                lambda k: inplace_blocked_cholesky(
+                    add_jitter(scale * k, 1e-6)),
+                donate_argnums=0)(jnp.asarray(k_host))
+            at = solve_triangular(u_t, model.y_data, lower=False, trans=1)
+            state["d"] = df + jnp.sum(at * at)
+            state["d"].block_until_ready()
+            del u_t, at
+            state["cond_df"] = df + model.num_data
+            state["scale_ba"] = b / a
+        u = jax.jit(
+            lambda k: inplace_blocked_cholesky(add_diag_reg(k, eps)),
+            donate_argnums=0)(jnp.asarray(k_host))
+        state["chol"] = u
+        # K^{-1} y with K = U^T U: back-to-back transposed/plain upper solves.
+        z = solve_triangular(u, model.y_data[:, None], lower=False, trans=1)
+        state["alpha"] = solve_triangular(u, z, lower=False)
+        return FittedSPR(model, params, state)
+
     chol_fn = model.chol_fn or jnp.linalg.cholesky
 
     k_dd = model._gram(kernel_fn)
@@ -62,8 +113,7 @@ def fit_spr(model, params) -> "FittedSPR":
         "y_std": jnp.asarray(model.y_std, jnp.float32),
     }
 
-    lik_params = params["likelihood"]
-    if model.likelihood.require:  # Student-t conditional predictive
+    if require:  # Student-t conditional predictive
         a, b = model.likelihood._ab(lik_params)
         df = 2.0 * a
         chol_t = chol_fn(add_jitter((b / a) * k_dd, 1e-6))
@@ -128,7 +178,12 @@ class FittedSPR:
         model, s = self.model, self.state
         k_td = model.kernel.K(self._kernel_fn, x, model.x_data)  # [n, N]
         mean = (k_td @ s["alpha"]).flatten()
-        v = solve_triangular(s["chol"], k_td.T, lower=True)      # [N, n]
+        if int(s.get("chol_lower", 1)):
+            v = solve_triangular(s["chol"], k_td.T, lower=True)  # [N, n]
+        else:
+            # memory-lean fit stores the UPPER factor U = L^T; L^{-1} x is
+            # the transposed upper solve.
+            v = solve_triangular(s["chol"], k_td.T, lower=False, trans=1)
         k_tt = model.kernel.K(self._kernel_fn, x)                # [n, n]
         var = jnp.diag(k_tt - v.T @ v)
         return mean, var

@@ -147,3 +147,50 @@ def test_fitted_svsp_proba_and_roundtrip(tmp_path):
     loaded = FittedSVSP.load(path, model)
     p2 = np.asarray(loaded.predict_proba(key, x, num_samples=256))
     np.testing.assert_allclose(p2, proba, rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fit_spr_memory_lean_matches_default(method):
+    """memory_lean=True (in-place upper-factor fit, the only path whose
+    working set fits north-star Grams on one chip) equals the default fit
+    to fp32 resolution: predictions, variances, test NLL, and the
+    Student-t data scale d."""
+    model = _toy_spr(method, n=40)
+    params = model.init_params()
+    rng = np.random.RandomState(3)
+    x_test = rng.randn(7, 3).astype(np.float32)
+    y_test = rng.randn(7).astype(np.float32)
+
+    ref = fit_spr(model, params)
+    lean = fit_spr(model, params, memory_lean=True)
+
+    assert int(lean.state["chol_lower"]) == 0
+    m0, v0 = ref.predict(jnp.asarray(x_test))
+    m1, v1 = lean.predict(jnp.asarray(x_test))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        float(lean.test_nll(jnp.asarray(x_test), jnp.asarray(y_test))),
+        float(ref.test_nll(jnp.asarray(x_test), jnp.asarray(y_test))),
+        rtol=1e-4)
+    if method == "tp":
+        np.testing.assert_allclose(float(lean.state["d"]),
+                                   float(ref.state["d"]), rtol=1e-4)
+
+
+def test_fit_spr_memory_lean_save_load(tmp_path):
+    """The upper-factor orientation flag survives the .npz round trip."""
+    model = _toy_spr("tp", n=32)
+    params = model.init_params()
+    lean = fit_spr(model, params, memory_lean=True)
+    path = str(tmp_path / "lean.npz")
+    lean.save(path)
+    back = FittedSPR.load(path, model)
+    assert int(back.state["chol_lower"]) == 0
+    x = np.random.RandomState(5).randn(6, 3).astype(np.float32)
+    m0, v0 = lean.predict(jnp.asarray(x))
+    m1, v1 = back.predict(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
