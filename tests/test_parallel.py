@@ -335,3 +335,39 @@ def test_inplace_blocked_cholesky_solves_and_logdet():
                                np.asarray(want), atol=2e-3)
     ld = 2 * jnp.sum(jnp.log(jnp.diagonal(u)))
     np.testing.assert_allclose(float(ld), float(want_ld), rtol=1e-5)
+
+
+def test_inplace_blocked_cholesky_fuzz_sizes():
+    """Random sizes x blocks (incl. non-multiples and block > n)."""
+    from snngp.parallel.cholesky import inplace_blocked_cholesky
+    rng = np.random.RandomState(9)
+    for _ in range(8):
+        n = int(rng.randint(33, 320))
+        b = int(rng.choice([16, 48, 64, 100, 512]))
+        a = _psd(n, seed=int(rng.randint(1000)))
+        want = np.asarray(jnp.linalg.cholesky(a)).T
+        got = np.asarray(inplace_blocked_cholesky(a, block=b))
+        np.testing.assert_allclose(got, want, atol=3e-4,
+                                   err_msg=f"n={n} block={b}")
+
+
+def test_inplace_blocked_cholesky_inside_jit_with_donation():
+    """The north-star composition (examples/cifar_myrtle.py): jitter + the
+    in-place factorization inside ONE enclosing donating jit, upper-factor
+    predictive solves outside."""
+    from jax.scipy.linalg import cho_solve
+    from snngp.ops.linalg import add_jitter
+    from snngp.parallel.cholesky import inplace_blocked_cholesky
+
+    a = _psd(192, seed=12, jitter=0.0)
+    y = jnp.asarray(np.random.RandomState(1).randn(192).astype(np.float32))
+    want = jnp.linalg.solve(a + 1e-2 * jnp.eye(192), y)
+
+    @jax.jit
+    def chol_kernel(k):
+        return inplace_blocked_cholesky(add_jitter(k, 1e-2), block=64)
+
+    # donate at the outer boundary, like the example does
+    u = jax.jit(chol_kernel.__wrapped__, donate_argnums=0)(a)
+    got = cho_solve((u, False), y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
