@@ -264,6 +264,7 @@ class SNNGPClassifier(_EstimatorBase):
 
         key = random.PRNGKey(self.seed)
         xj, yj = jnp.asarray(X), jnp.asarray(y_idx)
+        loss = jnp.asarray(float("nan"))
         for _ in range(self.epochs):
             key, pkey = random.split(key)
             order = np.asarray(random.permutation(pkey, num_train))
