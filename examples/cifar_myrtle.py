@@ -218,6 +218,10 @@ def main():
     # input + output ~= 2 n^2 and OOMs; RESULTS.md round 3 measured the
     # 50k x 50k Gram factoring in 5.3 s this way), picked from 32768 up for
     # margin. It donates the Gram and returns the UPPER factor U = L^T.
+    if args.chol == "inplace" and mesh is not None:
+        raise SystemExit("--chol inplace is a single-device kernel (donated "
+                         "fori-loop carry); with --devices use --chol "
+                         "blocked, which shards under GSPMD.")
     use_inplace = (args.chol == "inplace"
                    or (args.chol == "auto" and args.n_train >= 32768
                        and mesh is None))

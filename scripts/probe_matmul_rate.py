@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Import snngp FIRST: its __init__ pins jax_default_matmul_precision to
+# 'highest', and every row of this calibration must run under the same
+# config (the explicit per-op `precision=` args below override it where
+# the row says so).
+import snngp  # noqa: F401
+from snngp.parallel.cholesky import blocked_cholesky
+
 N = 16384
 
 
@@ -70,7 +77,6 @@ def main():
     print(f"cholesky[{N}] monolithic: {t*1e3:.1f} ms  "
           f"{flops_chol/t/1e12:.1f} TFLOP/s (fp32-equivalent)")
 
-    from snngp.parallel.cholesky import blocked_cholesky
     for block in (1024, 2048):
         t = device_time(
             lambda x, b=block: jnp.sum(blocked_cholesky(x, block=b)),

@@ -91,12 +91,14 @@ def _base_kernel(network):
 
 
 def _make_model(method, network, num_hiddens, activation, w_std, b_std,
-                last_w_std, alpha, beta, num_class, inducing_points, epsilon):
-    _, base_kernel_fn = _base_kernel(network)
+                last_w_std, alpha, beta, num_class, inducing_points, epsilon,
+                get_kernel_fn=None):
+    if get_kernel_fn is None:
+        _, base_kernel_fn = _base_kernel(network)
 
-    def get_kernel_fn(w, b, l):
-        return base_kernel_fn(num_hiddens, num_class, activation,
-                              w_std=w, b_std=b, last_w_std=l)
+        def get_kernel_fn(w, b, l):
+            return base_kernel_fn(num_hiddens, num_class, activation,
+                                  w_std=w, b_std=b, last_w_std=l)
 
     if method == "svgp":
         kernel = NNGPKernel(get_kernel_fn, w_std, b_std, last_w_std)

@@ -66,18 +66,17 @@ def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
     require = model.likelihood.require
 
     if memory_lean:
-        from functools import partial
-
         from snngp.parallel.cholesky import inplace_blocked_cholesky
-
-        k_host = np.asarray(model._gram(kernel_fn))             # stage to host
 
         state = {
             "y_mean": jnp.asarray(model.y_mean, jnp.float32),
             "y_std": jnp.asarray(model.y_std, jnp.float32),
             "chol_lower": jnp.asarray(0, jnp.int32),
         }
-        if require:  # Student-t factorization first; freed before the main one
+        if require:  # Student-t path: two factorizations of the same Gram —
+            # stage it to host once, re-upload between them, so only ONE
+            # full-size device buffer ever exists.
+            k_host = np.asarray(model._gram(kernel_fn))
             a, b = model.likelihood._ab(lik_params)
             df = 2.0 * a
             scale = float(b / a)
@@ -91,9 +90,14 @@ def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
             del u_t, at
             state["cond_df"] = df + model.num_data
             state["scale_ba"] = b / a
+            k_dev = jnp.asarray(k_host)
+        else:
+            # One factorization: donate the device Gram directly — no
+            # host round-trip needed (same ~n^2 peak).
+            k_dev = model._gram(kernel_fn)
         u = jax.jit(
             lambda k: inplace_blocked_cholesky(add_diag_reg(k, eps)),
-            donate_argnums=0)(jnp.asarray(k_host))
+            donate_argnums=0)(k_dev)
         state["chol"] = u
         # K^{-1} y with K = U^T U: back-to-back transposed/plain upper solves.
         z = solve_triangular(u, model.y_data[:, None], lower=False, trans=1)
@@ -133,6 +137,11 @@ class FittedSPR:
         self.state = state
         self._kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
         self._student_t = "d" in state
+        # Factor orientation is static fit-time config: resolve it ONCE here
+        # (np scalar, no per-call device sync) so predict paths stay
+        # jit-threadable over the array-valued state.
+        cl = state.get("chol_lower")
+        self._chol_lower = True if cl is None else bool(np.asarray(cl))
 
     # -- prediction -------------------------------------------------------
 
@@ -178,7 +187,7 @@ class FittedSPR:
         model, s = self.model, self.state
         k_td = model.kernel.K(self._kernel_fn, x, model.x_data)  # [n, N]
         mean = (k_td @ s["alpha"]).flatten()
-        if int(s.get("chol_lower", 1)):
+        if self._chol_lower:
             v = solve_triangular(s["chol"], k_td.T, lower=True)  # [N, n]
         else:
             # memory-lean fit stores the UPPER factor U = L^T; L^{-1} x is

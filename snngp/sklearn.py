@@ -72,6 +72,10 @@ class SNNGPRegressor(_EstimatorBase):
     ``fit`` normalizes targets (train mean/std, like the reference data
     pipeline) and hoists the O(N^3) train-side solve into a fitted
     predictor, so ``predict``/``score`` cost O(N x n) per call.
+
+    ``seed`` is accepted for sklearn grid-search compatibility but unused:
+    exact-inference fitting is deterministic (closed-form Gram + full-batch
+    ML-II from a deterministic init).
     """
 
     _param_names = ("method", "network", "num_hiddens", "activation",
@@ -237,19 +241,14 @@ class SNNGPClassifier(_EstimatorBase):
             X[y_idx == c][rng.permutation(counts[c])[:max(per_class[c], 1)]]
             for c in range(num_class)], axis=0)
 
-        get_kernel_fn = self._make_kernel_builder(num_class)
-        if self.method == "svgp":
-            kernel = NNGPKernel(get_kernel_fn, self.w_std, self.b_std,
-                                self.last_w_std)
-            prior = GaussianPrior()
-        elif self.method == "svtp":
-            # svtp fixes last_w_std = 1 (classification/train.py:181).
-            kernel = NNGPKernel(get_kernel_fn, self.w_std, self.b_std, 1.0)
-            prior = InverseGammaPrior(self.alpha, self.beta)
-        else:
-            raise ValueError(f"Unsupported method {self.method!r}")
-        model = SVSP(prior, kernel, jnp.asarray(z),
-                     num_latent_gps=num_class, eps=self.eps)
+        # Shared with the CLI so the svgp/svtp conventions (incl. the svtp
+        # last_w_std=1 freeze) live in exactly one place.
+        from snngp.cli.classification import _make_model
+        model = _make_model(
+            self.method, self.network, self.num_hiddens, self.activation,
+            self.w_std, self.b_std, self.last_w_std, self.alpha, self.beta,
+            num_class, jnp.asarray(z), self.eps,
+            get_kernel_fn=self._make_kernel_builder(num_class))
         params = model.init_params()
         opt = Adam() if self.optimizer == "adam" else SGD()
         opt_state = opt.init(params)
