@@ -27,6 +27,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+__all__ = ["KernelState", "input_state"]
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
