@@ -52,8 +52,11 @@ resizes inputs to a pooling-compatible resolution first
 (classification/train.py:156-161, jax.image.resize), and the snngp CLI
 exposes the same ``--downscale`` knob. Route non-pow2 pooled workloads
 through a resize, or non-pooled kernels through ``scan_tiled_gram``.
-Differentiable w.r.t. (w_std, b_std, last_w_std) via a custom VJP through
-the reference full tier — same contract as ``conv_gram.cnn_gram``.
+Differentiable w.r.t. (w_std, b_std, last_w_std): ``trainable_inputs=False``
+runs ONE augmented fused pass carrying the forward-mode tangent states in
+VMEM (ML-II at north-star sizes); the default keeps a full custom VJP
+through the reference full tier (x1/x2 cotangents, small N only) — same
+contract as ``conv_gram.cnn_gram``.
 """
 
 from __future__ import annotations
@@ -67,7 +70,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from snngp.ops.pallas.gram import _ACT_T
+from snngp.ops.pallas.gram import _ACT_T, _ACT_T_PARTIALS
 
 __all__ = ["myrtle_gram", "myrtle_gram_sharded", "myrtle_var_profiles",
            "MYRTLE_GROUPS"]
@@ -120,6 +123,22 @@ def myrtle_var_profiles(x: jax.Array, groups: Sequence[int], act: str,
               for i in range(0, n, chunk)]
     return [jnp.concatenate([ch[i] for ch in chunks])
             for i in range(len(chunks[0]))]
+
+
+def _profiles_with_tangents(x, groups, act, w_std, b_std):
+    """Variance profiles plus their forward-mode tangents w.r.t. w_std and
+    b_std (the N-linear analogue of ``gram._var_stack_with_tangents``).
+    Returns (profiles, tangents) with tangents[l] of shape [N, 2, r, r] —
+    axis 1 stacks (d/dw_std, d/db_std)."""
+    w_std = jnp.asarray(w_std, jnp.float32)
+    b_std = jnp.asarray(b_std, jnp.float32)
+    p, dw = jax.jvp(
+        lambda ww: myrtle_var_profiles(x, groups, act, ww, b_std),
+        (w_std,), (jnp.ones_like(w_std),))
+    _, db = jax.jvp(
+        lambda bb: myrtle_var_profiles(x, groups, act, w_std, bb),
+        (b_std,), (jnp.ones_like(b_std),))
+    return p, [jnp.stack([a, b], axis=1) for a, b in zip(dw, db)]
 
 
 # ---------------------------------------------------------------------------
@@ -248,8 +267,25 @@ _STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff; 
 
 def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                    out_ref, *, groups: Tuple[int, int, int], act: str, h: int,
-                   n_g3: int, dtype=jnp.float32):
+                   n_g3: int, dtype=jnp.float32, tangents=None,
+                   grad_refs=()):
+    """Myrtle pair recursion; with ``tangents`` (the w/b-stacked tangent
+    variance-profile refs) it also carries the two forward-mode tangent
+    states dK/dw_std and dK/db_std through the whole recursion in VMEM —
+    same ML-II scalar-gradient scheme as ``gram._gram_grad_kernel`` —
+    writing them to ``grad_refs`` (dK/dlast_w_std = (2/last) K, computed by
+    the wrapper). Linear ops (stencil shifts, halo trims, pooling reshapes,
+    transposes, GAP) apply to every state; the conv scale adds 2w*conv(K) /
+    2b terms and activations route through the shared analytic partials."""
     w2, b2, last2 = scale_ref[0], scale_ref[1], scale_ref[2]
+    grads = tangents is not None
+    if grads:
+        assert dtype == jnp.float32, "scalar-tangent path is fp32-only"
+        w_s, b_s = scale_ref[3], scale_ref[4]
+        partials = _ACT_T_PARTIALS[act]
+        dva1, dvb1, dva2, dvb2, dva3, dvb3 = tangents
+        dw_ref, db_ref = grad_refs
+    ns = 3 if grads else 1
     t_fn = _ACT_T[act]
     hw = h * h
     bf16 = dtype == jnp.bfloat16
@@ -297,6 +333,27 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
     def cast_prof(v):
         return v.astype(dtype) if bf16 else v
 
+    def conv_all(ks, row_ax, lane_ax):
+        """w2*conv(.)+b2 on the primal; product rule on the tangents."""
+        c = _conv_dual(ks[0], row_ax, lane_ax)
+        out = [w2 * c + b2]
+        if grads:
+            out.append(w2 * _conv_dual(ks[1], row_ax, lane_ax)
+                       + (2.0 * w_s) * c)
+            out.append(w2 * _conv_dual(ks[2], row_ax, lane_ax)
+                       + jnp.full_like(c, 2.0 * b_s))
+        return out
+
+    def act_all(ks, v1s, v2s):
+        """Activation; tangents via the shared analytic partials, computed
+        once and reused by both tangent states."""
+        if not grads:
+            return [t_fn(ks[0], v1s[0], v2s[0])]
+        t, tk, tv1, tv2 = partials(ks[0], v1s[0], v2s[0])
+        return [t,
+                tk * ks[1] + tv1 * v1s[1] + tv2 * v2s[1],
+                tk * ks[2] + tv1 * v1s[2] + tv2 * v2s[2]]
+
     def pair(a, b):
         """Full Myrtle recursion for one sample pair (both indices traced).
 
@@ -306,11 +363,17 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
         8-multiples are, so the profiles ride the transposed layout."""
         onehot_a = (lax.broadcasted_iota(jnp.int32, (_T1, 1), 0) == a
                     ).astype(jnp.float32)                   # [T1, 1]
+
+        def a_col(ref, lo, rows):
+            return jnp.dot(ref[lo:lo + rows, :], onehot_a,
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)  # [rows, 1]
+
         x2t = x2t_ref[b]                                    # [8, hw]
         vb1_rows = [cast_prof(vb1[l][b][None, :]) for l in range(groups[0])]
 
         # ---- stage 1: conv group at full resolution, strip-mined rows ----
-        pooled = None                                       # [q1, hw]
+        pooled = [None] * ns                                # ns x [q1, hw]
         for s in range(n_strips):
             rows = strip + 2 * halo
             lhs = x1_ref[a, s * strip:s * strip + rows, :]  # [rows, 8]
@@ -318,69 +381,89 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                         precision=lax.Precision.HIGHEST)    # [rows, hw]
             if bf16:
                 k = k.astype(dtype)
+            # the input moment carries no scale dependence: zero tangents
+            ks = [k] + [jnp.zeros_like(k) for _ in range(ns - 1)]
             cur = halo                                      # live halo width
             for l in range(groups[0]):
                 row_ax = _Axis(h, 1, s * strip - cur)
-                k = w2 * _conv_dual(k, row_ax, lane1) + b2
+                ks = conv_all(ks, row_ax, lane1)
                 # trim the halo this conv consumed before the (pointwise)
                 # activation — later convs only need the remaining context
                 need = (_halo(groups[0] - 1 - l, h, align)
                         if groups[0] - 1 - l else 0)
                 if cur - need:
-                    k = k[cur - need:k.shape[0] - (cur - need)]
+                    ks = [z[cur - need:z.shape[0] - (cur - need)] for z in ks]
                 cur = need
                 lo = halo + s * strip - cur                 # padded coords
-                va = jnp.dot(va1[l][0][lo:lo + k.shape[0], :], onehot_a,
-                             preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)  # [rows', 1]
-                k = t_fn(k, cast_prof(va), vb1_rows[l])
-            blk = pool_rows_2x2(k, h)                       # [strip//4, hw]
-            pooled = blk if pooled is None else jnp.concatenate([pooled, blk])
+                v1s = [cast_prof(a_col(va1[l][0], lo, ks[0].shape[0]))]
+                v2s = [vb1_rows[l]]
+                if grads:
+                    v1s += [a_col(dva1[l][0, i], lo, ks[0].shape[0])
+                            for i in (0, 1)]
+                    v2s += [dvb1[l][b, i][None, :] for i in (0, 1)]
+                ks = act_all(ks, v1s, v2s)
+            blks = [pool_rows_2x2(z, h) for z in ks]        # [strip//4, hw]
+            pooled = (blks if pooled[0] is None else
+                      [jnp.concatenate([p, z]) for p, z in zip(pooled, blks)])
 
         # swap sides, pool the (now row-side) b pixels -> [rows_2, lane_q1];
         # a-side rows pad up first so the post-transpose lane dim is >= 128.
         if pad_q1:
-            pooled = jnp.concatenate(
-                [pooled, jnp.zeros((pad_q1, pooled.shape[1]), pooled.dtype)])
-        k = pool_rows_2x2(pooled.T, h)
+            pooled = [jnp.concatenate(
+                [z, jnp.zeros((pad_q1, z.shape[1]), z.dtype)])
+                for z in pooled]
+        ks = [pool_rows_2x2(z.T, h) for z in pooled]
 
         # ---- stage 2: compact (h/2) grid both sides (rows=b, lanes=a) ----
         for l in range(groups[1]):
-            k = w2 * _conv_dual(k, ax2, ax2) + b2
-            vb = cast_prof(vb2[l][b][None, :].T)            # [rows_2, 1]
-            va = cast_prof(va2[l][a][None, :])              # [1, lane_q1]
-            k = t_fn(k, vb, va)
-        k = pool_rows_2x2(k, r2)                            # [rows_3, lane_q1]
-        k = _pool_lanes_sparse(k, ax2)                      # lanes: stride 2
+            ks = conv_all(ks, ax2, ax2)
+            v1s = [cast_prof(vb2[l][b][None, :].T)]         # [rows_2, 1]
+            v2s = [cast_prof(va2[l][a][None, :])]           # [1, lane_q1]
+            if grads:
+                v1s += [dvb2[l][b, i][None, :].T for i in (0, 1)]
+                v2s += [dva2[l][a, i][None, :] for i in (0, 1)]
+            ks = act_all(ks, v1s, v2s)
+        ks = [pool_rows_2x2(z, r2) for z in ks]             # [rows_3, lane_q1]
+        ks = [_pool_lanes_sparse(z, ax2) for z in ks]       # lanes: stride 2
 
         # ---- stage 3: rows compact (h/4); lanes sparse on (h/2) grid ----
         for l in range(groups[2]):
-            k = w2 * _conv_dual(k, ax3_rows, ax3_lane) + b2
+            ks = conv_all(ks, ax3_rows, ax3_lane)
             # transpose-then-row-slice: sublane slices lower cleanly where a
             # sub-128 lane slice would not (rows_3 = 16 at 16x16)
-            vb = cast_prof(vb3[l][b][None, :].T[:rows_3])   # [rows_3, 1]
-            va = cast_prof(va3[l][a][None, :])              # [1, lane_q1]
-            k = t_fn(k, vb, va)
-        k = pool_rows_2x2(k, r3)                            # rows_3//4 rows
-        k = _pool_lanes_sparse(k, ax3_lane)                 # lanes: stride 4
+            v1s = [cast_prof(vb3[l][b][None, :].T[:rows_3])]  # [rows_3, 1]
+            v2s = [cast_prof(va3[l][a][None, :])]           # [1, lane_q1]
+            if grads:
+                v1s += [dvb3[l][b, i][None, :].T[:rows_3] for i in (0, 1)]
+                v2s += [dva3[l][a, i][None, :] for i in (0, 1)]
+            ks = act_all(ks, v1s, v2s)
+        ks = [pool_rows_2x2(z, r3) for z in ks]             # rows_3//4 rows
+        ks = [_pool_lanes_sparse(z, ax3_lane) for z in ks]  # lanes: stride 4
 
         # ---- GAP + final dense: masked mean over (h/8)^2 x (h/8)^2 ----
         valid = _valid_lane_mask(lane_q1, _Axis(r2, 4, 0))
-        if k.shape[0] > q3:     # b-side rows were padded (8x8): mask them
-            row_f = lax.broadcasted_iota(jnp.int32, (k.shape[0], 1), 0)
+        if ks[0].shape[0] > q3:  # b-side rows were padded (8x8): mask them
+            row_f = lax.broadcasted_iota(jnp.int32, (ks[0].shape[0], 1), 0)
             valid = valid & (row_f < q3)
-        total = jnp.sum(jnp.where(valid, k.astype(jnp.float32), 0.0))
-        return last2 * total / (q3 * q3)
+        return [last2 * jnp.sum(jnp.where(valid, z.astype(jnp.float32), 0.0))
+                / (q3 * q3) for z in ks]
 
-    def body(i, acc):
+    def body(i, accs):
         a, b = lax.div(i, _T2), lax.rem(i, _T2)
-        val = pair(a, b)
+        vals = pair(a, b)
         row = lax.broadcasted_iota(jnp.int32, (_T1, _T2), 0)
         lane = lax.broadcasted_iota(jnp.int32, (_T1, _T2), 1)
-        return acc + jnp.where((row == a) & (lane == b), val, 0.0)
+        hit = (row == a) & (lane == b)
+        return tuple(acc + jnp.where(hit, v, 0.0)
+                     for acc, v in zip(accs, vals))
 
-    out_ref[:] = lax.fori_loop(0, _T1 * _T2, body,
-                               jnp.zeros((_T1, _T2), jnp.float32))
+    accs = lax.fori_loop(
+        0, _T1 * _T2, body,
+        tuple(jnp.zeros((_T1, _T2), jnp.float32) for _ in range(ns)))
+    out_ref[:] = accs[0]
+    if grads:
+        dw_ref[:] = accs[1]
+        db_ref[:] = accs[2]
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +488,19 @@ def _reference_myrtle(x1, x2, depth, act, w_std, b_std, last_w_std):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
+    return _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std,
+                        last_w_std)
+
+
+def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
+                 grads=False):
+    """Build operands and dispatch the fused kernel. ``grads=True`` also
+    feeds the w/b tangent variance profiles and returns
+    (K, dK/dw_std, dK/db_std) from one augmented kernel pass (~3x the
+    forward's VPU work; dK/dlast_w_std = (2/last) K needs no kernel)."""
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_key]
+    if grads and dtype != jnp.float32:
+        raise ValueError("scalar-tangent gradients are fp32-only")
     groups = MYRTLE_GROUPS[depth]
     g0, g1, g2 = groups
     n1, h, w, c = x1.shape
@@ -432,8 +527,14 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
     x2t = jnp.pad(x2p.reshape(m2, hw, c) * scale_c,
                   ((0, 0), (0, lane_1 - hw), (0, 8 - c))).transpose(0, 2, 1)
 
-    prof1 = myrtle_var_profiles(x1p, groups, act, w_std, b_std)
-    prof2 = myrtle_var_profiles(x2p, groups, act, w_std, b_std)
+    if grads:
+        prof1, dprof1 = _profiles_with_tangents(x1p, groups, act, w_std,
+                                                b_std)
+        prof2, dprof2 = _profiles_with_tangents(x2p, groups, act, w_std,
+                                                b_std)
+    else:
+        prof1 = myrtle_var_profiles(x1p, groups, act, w_std, b_std)
+        prof2 = myrtle_var_profiles(x2p, groups, act, w_std, b_std)
     r2side = h // 2
     n_g3 = hw // 16
     g3pad = (-n_g3) % 128
@@ -451,7 +552,8 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
     lane_q1 = max(hw // 4, 128)
 
     def _lane_pad(v):
-        return jnp.pad(v, ((0, 0), (0, lane_q1 - v.shape[-1])))
+        pad = [(0, 0)] * (v.ndim - 1) + [(0, lane_q1 - v.shape[-1])]
+        return jnp.pad(v, pad)
 
     rows_2 = lane_1 // 4    # stage-2 physical rows (b side; > hw//4 at 8x8)
 
@@ -466,9 +568,39 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
     vb3 = [jnp.pad(prof2[g0 + g1 + l].reshape(m2, n_g3),
                    ((0, 0), (0, g3pad))) for l in range(g2)]
 
-    scales = jnp.stack([jnp.asarray(w_std, jnp.float32) ** 2,
-                        jnp.asarray(b_std, jnp.float32) ** 2,
-                        jnp.asarray(last_w_std, jnp.float32) ** 2])
+    scale_list = [jnp.asarray(w_std, jnp.float32) ** 2,
+                  jnp.asarray(b_std, jnp.float32) ** 2,
+                  jnp.asarray(last_w_std, jnp.float32) ** 2]
+    if grads:
+        scale_list += [jnp.asarray(w_std, jnp.float32),
+                       jnp.asarray(b_std, jnp.float32)]
+
+        # tangent profiles, same layouts with a (d/dw, d/db) axis after the
+        # sample-block axis so the primal BlockSpecs carry over unchanged
+        def _t1_groups_t(dp):                   # [m1, 2, r, r]
+            padded = jnp.pad(dp.reshape(m1, 2, hw),
+                             ((0, 0), (0, 0), (halo, halo)))
+            return padded.reshape(m1 // _T1, _T1, 2,
+                                  hw + 2 * halo).transpose(0, 2, 3, 1)
+
+        dva1 = [_t1_groups_t(dprof1[l]) for l in range(g0)]
+        dvb1 = [jnp.pad(dprof2[l].reshape(m2, 2, hw),
+                        ((0, 0), (0, 0), (0, lane_1 - hw)))
+                for l in range(g0)]
+        dva2 = [_lane_pad(dprof1[g0 + l].reshape(m1, 2, hw // 4))
+                for l in range(g1)]
+        dvb2 = [jnp.pad(dprof2[g0 + l].reshape(m2, 2, hw // 4),
+                        ((0, 0), (0, 0), (0, rows_2 - hw // 4)))
+                for l in range(g1)]
+        dva3 = [jnp.stack([_lane_pad(_sparse_expand(
+                    dprof1[g0 + g1 + l][:, i], r2side)) for i in (0, 1)],
+                          axis=1)
+                for l in range(g2)]
+        dvb3 = [jnp.pad(dprof2[g0 + g1 + l].reshape(m2, 2, n_g3),
+                        ((0, 0), (0, 0), (0, g3pad)))
+                for l in range(g2)]
+        d_ops = dva1 + dvb1 + dva2 + dvb2 + dva3 + dvb3
+    scales = jnp.stack(scale_list)
 
     grid = (m2 // _T2, m1 // _T1)   # b outer: the 4 MB x2t block stays put
 
@@ -480,13 +612,18 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
         shp = (_T2,) + arr.shape[1:]
         return pl.BlockSpec(shp, lambda j, i, *_: (j,) + (0,) * (arr.ndim - 1))
 
-    def va1_spec(arr):  # [m1/T1, L, T1]: one T1-group of transposed profiles
-        return pl.BlockSpec((1,) + arr.shape[1:], lambda j, i, *_: (i, 0, 0))
+    def va1_spec(arr):  # [m1/T1, (2,) L, T1]: one T1-group, transposed
+        return pl.BlockSpec((1,) + arr.shape[1:],
+                            lambda j, i, *_: (i,) + (0,) * (arr.ndim - 1))
 
     in_specs = ([a_spec(x1f), b_spec(x2t)]
                 + [va1_spec(v) for v in va1] + [b_spec(v) for v in vb1]
                 + [a_spec(v) for v in va2] + [b_spec(v) for v in vb2]
                 + [a_spec(v) for v in va3] + [b_spec(v) for v in vb3])
+    if grads:
+        in_specs += ([va1_spec(v) for v in dva1] + [b_spec(v) for v in dvb1]
+                     + [a_spec(v) for v in dva2] + [b_spec(v) for v in dvb2]
+                     + [a_spec(v) for v in dva3] + [b_spec(v) for v in dvb3])
 
     def kernel_entry(scale_ref, x1_ref, x2t_ref, *refs):
         refs = list(refs)
@@ -496,28 +633,41 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
         va1_r, vb1_r = take(g0), take(g0)
         va2_r, vb2_r = take(g1), take(g1)
         va3_r, vb3_r = take(g2), take(g2)
-        (out_ref,) = refs
+        tangent_refs = None
+        if grads:
+            tangent_refs = (take(g0), take(g0), take(g1), take(g1),
+                            take(g2), take(g2))
+        out_ref, grad_refs = refs[0], tuple(refs[1:])
         _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1_r, vb1_r, va2_r, vb2_r,
                        va3_r, vb3_r, out_ref, groups=groups, act=act, h=h,
-                       n_g3=n_g3, dtype=dtype)
+                       n_g3=n_g3, dtype=dtype, tangents=tangent_refs,
+                       grad_refs=grad_refs)
 
-    out = pl.pallas_call(
+    shp = jax.ShapeDtypeStruct((m1, m2), jnp.float32)
+    out_spec = pl.BlockSpec((_T1, _T2), lambda j, i, *_: (i, j))
+    operands = [scales, x1f, x2t, *va1, *vb1, *va2, *vb2, *va3, *vb3]
+    if grads:
+        operands += d_ops
+    outs = pl.pallas_call(
         kernel_entry,
-        out_shape=jax.ShapeDtypeStruct((m1, m2), jnp.float32),
+        out_shape=(shp, shp, shp) if grads else shp,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((_T1, _T2), lambda j, i, *_: (i, j)),
+            out_specs=(out_spec,) * 3 if grads else out_spec,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=80 * m1 * m2 * hw,
-            bytes_accessed=(m1 * hw * 12 + m2 * hw * 36) * 4,
+            flops=(240 if grads else 80) * m1 * m2 * hw,
+            bytes_accessed=(m1 * hw * 12 + m2 * hw * 36) * (12 if grads
+                                                            else 4),
             transcendentals=3 * m1 * m2 * hw,
         ),
         interpret=INTERPRET,
-    )(scales, x1f, x2t, *va1, *vb1, *va2, *vb2, *va3, *vb3)
-    return out[:n1, :n2]
+    )(*operands)
+    if grads:
+        return tuple(o[:n1, :n2] for o in outs)
+    return outs[:n1, :n2]
 
 
 def _myrtle_fwd(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
@@ -541,10 +691,46 @@ def _myrtle_bwd(depth, act, dtype_key, res, g):
 _myrtle_gram.defvjp(_myrtle_fwd, _myrtle_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _myrtle_gram_scalar(depth, act, dtype_key, x1, x2, w_std, b_std,
+                        last_w_std):
+    """Fused Myrtle Gram whose backward differentiates ONLY the three scale
+    scalars (the ML-II contract: x1/x2 are data, their cotangents are zero)
+    via one augmented fused-kernel pass — usable at north-star sizes where
+    the reference-tier reverse recursion would OOM."""
+    return _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std,
+                        last_w_std)
+
+
+def _myrtle_scalar_fwd(depth, act, dtype_key, x1, x2, w_std, b_std,
+                       last_w_std):
+    out = _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std,
+                       last_w_std)
+    return out, (x1, x2, w_std, b_std, last_w_std)
+
+
+def _myrtle_scalar_bwd(depth, act, dtype_key, res, g):
+    x1, x2, w_std, b_std, last_w_std = res
+    k, dkw, dkb = _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std,
+                               last_w_std, grads=True)
+    last = jnp.asarray(last_w_std, jnp.float32)
+    # K = last^2 * t  =>  dK/dlast = (2/last) K; exact at last = 0 too
+    # (K == 0 there), guarded against the 0/0.
+    dkl = jnp.where(last != 0.0, 2.0 * k / jnp.where(last != 0.0, last, 1.0),
+                    0.0)
+    return (jnp.zeros_like(x1), jnp.zeros_like(x2),
+            jnp.asarray(jnp.sum(g * dkw), jnp.asarray(w_std).dtype),
+            jnp.asarray(jnp.sum(g * dkb), jnp.asarray(b_std).dtype),
+            jnp.asarray(jnp.sum(g * dkl), jnp.asarray(last_w_std).dtype))
+
+
+_myrtle_gram_scalar.defvjp(_myrtle_scalar_fwd, _myrtle_scalar_bwd)
+
+
 def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                 depth: int = 5, act: str = "relu",
                 w_std=1.0, b_std=0.0, last_w_std=1.0,
-                dtype=None) -> jax.Array:
+                dtype=None, trainable_inputs: bool = True) -> jax.Array:
     """Fused Myrtle-{5,7,10} NNGP Gram — drop-in for
     ``full.get_myrtle_kernel(depth, ...)(x1, x2, get="nngp")``.
 
@@ -557,10 +743,16 @@ def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
     mode and buys nothing on v5e hardware; it is kept for numerics
     validation and future VPU generations with true packed-bf16 ALUs.
 
-    Gradient contract: the custom VJP recomputes through the XLA full tier —
-    affordable ONLY at small N (see ``_myrtle_bwd``). The CLI training paths
-    never differentiate Myrtle Grams; ``examples/paper_figures.py`` and
-    tests use N <= a few hundred.
+    Gradient contract: with the default ``trainable_inputs=True`` the custom
+    VJP recomputes through the XLA full tier — correct for x1/x2 cotangents
+    but affordable ONLY at small N (see ``_myrtle_bwd``).
+    ``trainable_inputs=False`` declares that gradients are only ever taken
+    w.r.t. (w_std, b_std, last_w_std) — the ML-II configuration — and the
+    backward becomes ONE augmented fused-kernel pass carrying the two
+    forward-mode tangent states in VMEM (~3x the forward; dK/dlast is
+    closed-form), the same scheme as ``gram.mlp_gram`` /
+    ``conv_gram.cnn_gram``. That makes kernel-hyperparameter training
+    affordable at the same sizes as the fused forward itself.
     """
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
@@ -568,10 +760,11 @@ def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
         x2 = x1
     dtype_key = ("bfloat16" if dtype in (jnp.bfloat16, "bfloat16", "bf16")
                  else "float32")
-    return _myrtle_gram(depth, act, dtype_key, x1, x2,
-                        jnp.asarray(w_std, jnp.float32),
-                        jnp.asarray(b_std, jnp.float32),
-                        jnp.asarray(last_w_std, jnp.float32))
+    fn = _myrtle_gram if trainable_inputs else _myrtle_gram_scalar
+    return fn(depth, act, dtype_key, x1, x2,
+              jnp.asarray(w_std, jnp.float32),
+              jnp.asarray(b_std, jnp.float32),
+              jnp.asarray(last_w_std, jnp.float32))
 
 
 def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,

@@ -91,6 +91,42 @@ def test_myrtle_gram_gradients_via_reference_vjp():
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5)
 
 
+@pytest.mark.parametrize("depth,act", [(5, "relu")])
+def test_myrtle_scalar_tangent_grads(depth, act):
+    """trainable_inputs=False: backward is ONE augmented fused pass carrying
+    the (w_std, b_std) tangent states through the recursion in VMEM (dK/dl
+    is closed-form) — parity vs reverse-mode through the XLA full tier."""
+    _assert_scalar_tangent_parity(depth, act)
+
+
+@pytest.mark.parametrize("depth,act", [(5, "erf"), (7, "relu")])
+@pytest.mark.slow
+def test_myrtle_scalar_tangent_grads_slow(depth, act):
+    _assert_scalar_tangent_parity(depth, act)
+
+
+def _assert_scalar_tangent_parity(depth, act):
+    x1, x2 = _data(4, 8, 8, seed=9)
+    rng = np.random.RandomState(1)
+    g = jnp.asarray(rng.rand(4, 8), jnp.float32)  # non-uniform cotangent
+
+    def loss_fused(w, b, l):
+        return jnp.sum(g * mg.myrtle_gram(
+            x1, x2, depth=depth, act=act, w_std=w, b_std=b, last_w_std=l,
+            trainable_inputs=False))
+
+    def loss_ref(w, b, l):
+        kfn = get_myrtle_kernel(depth, 1, act, w_std=w, b_std=b,
+                                last_w_std=l)
+        return jnp.sum(g * kfn(x1, x2, get="nngp"))
+
+    args = (jnp.float32(1.3), jnp.float32(0.2), jnp.float32(1.1))
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for gf, gr in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_myrtle_gram_depth10_tail_to_one_pixel():
     """Myrtle-10 (groups 3,3,2) at 8x8 pools to a single valid GAP lane."""
