@@ -99,10 +99,41 @@ def test_myrtle_scalar_tangent_grads(depth, act):
     _assert_scalar_tangent_parity(depth, act)
 
 
-@pytest.mark.parametrize("depth,act", [(5, "erf"), (7, "relu")])
+@pytest.mark.parametrize("depth,act", [(5, "erf"), (7, "relu"),
+                                       (10, "relu")])
 @pytest.mark.slow
 def test_myrtle_scalar_tangent_grads_slow(depth, act):
+    """depth 7/10 exercise the in-strip halo-trim path (groups[0] > 1) and
+    the multi-conv tail groups with tangent states."""
     _assert_scalar_tangent_parity(depth, act)
+
+
+@pytest.mark.slow
+def test_myrtle_scalar_tangent_grads_two_strips(monkeypatch):
+    """_STRIP_ROWS=128 at 16x16: the tangent states cross the strip-mined
+    concat path (two stage-1 strips) and still match the reference tier."""
+    monkeypatch.setattr(mg, "_STRIP_ROWS", 128)
+    x1, x2 = _data(4, 8, 16, seed=11)
+    rng = np.random.RandomState(2)
+    g = jnp.asarray(rng.rand(4, 8), jnp.float32)
+
+    def loss_fused(w, b, l):
+        return jnp.sum(g * mg.myrtle_gram(
+            x1, x2, depth=5, act="relu", w_std=w, b_std=b, last_w_std=l,
+            trainable_inputs=False))
+
+    def loss_ref(w, b, l):
+        kfn = get_myrtle_kernel(5, 1, "relu", w_std=w, b_std=b, last_w_std=l)
+        return jnp.sum(g * kfn(x1, x2, get="nngp"))
+
+    args = (jnp.float32(1.1), jnp.float32(0.3), jnp.float32(0.9))
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    # 2e-4: the fp32 REFERENCE tier's own accumulation noise at 16x16 — the
+    # fused tangents match a float64 reference-tier gradient to ~1e-7
+    # (w-grad 1.7121131 fused vs 1.7121132715 f64 vs 1.711947 ref-fp32).
+    for gf, gr in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), rtol=2e-4)
 
 
 def _assert_scalar_tangent_parity(depth, act):
