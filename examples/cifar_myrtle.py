@@ -88,6 +88,63 @@ def tiled_gram(kernel_fn, x1, x2, tile, symmetric, mesh=None, chunk=0,
     return jnp.asarray(out)
 
 
+def mlii_fit(args, x_sub, y_sub):
+    """ML-II fit of the Myrtle kernel scales + eps (+ Student-t a, b) on a
+    training subset, full-batch Adam on the marginal NLL — the reference's
+    ``reg tr`` recipe (regression/train.py:61-67) applied to the north-star
+    conv architecture. Gradients w.r.t. the three scale scalars run through
+    the fused Pallas kernel's scalar-tangent backward
+    (``myrtle_gram(trainable_inputs=False)``), so each step costs ~3 fused
+    forwards instead of an XLA-tier reverse recursion over the full
+    spatial-covariance state (which OOMs at these subset sizes)."""
+    import time
+
+    from snngp.models import params as P
+    from snngp.models.gp import SPR
+    from snngp.models.kernels import NNGPKernel
+    from snngp.models.likelihoods import (GaussianLikelihood,
+                                          StudentTLikelihood)
+    from snngp.nn.arch import get_myrtle_kernel as myrtle_builder
+    from snngp.utils.optim import Adam
+
+    def get_kernel_fn(w_std, b_std, last_w_std):
+        return myrtle_builder(args.depth, 1, "relu", w_std=w_std, b_std=b_std,
+                              last_w_std=last_w_std, trainable_inputs=False)
+
+    kernel = NNGPKernel(get_kernel_fn, 1.0, 0.1, 1.0)
+    lik = (StudentTLikelihood(args.alpha, args.beta)
+           if args.mlii_method == "tp" else GaussianLikelihood())
+    model = SPR(kernel, lik, x_sub, y_sub, 0.0, 1.0, eps=args.eps)
+    params = model.init_params()
+    opt = Adam()
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(model.loss)(params)
+        params, opt_state = opt.update(grads, opt_state, params, args.mlii_lr)
+        return loss, params, opt_state
+
+    t0 = time.time()
+    for i in range(args.mlii):
+        loss, params, opt_state = step(params, opt_state)
+        if i % max(1, args.mlii // 8) == 0 or i == args.mlii - 1:
+            print(f"[mlii] step {i + 1}/{args.mlii}: "
+                  f"nll {float(loss):.4f}")
+    w, b, l = kernel.get_params(params["kernel"])
+    hyper = dict(w_std=float(w), b_std=float(b), last_w_std=float(l))
+    eps = float(P.constrained_read(params["eps"], model.bij))
+    alpha, beta = args.alpha, args.beta
+    if args.mlii_method == "tp":
+        a, b_ = lik._ab(params["likelihood"])
+        alpha, beta = float(a), float(b_)
+    print(f"[mlii] {args.mlii} steps on N={x_sub.shape[0]} in "
+          f"{time.time() - t0:.1f}s -> {hyper} eps {eps:.3e}"
+          + (f" a {alpha:.3f} b {beta:.3f}"
+             if args.mlii_method == "tp" else ""))
+    return hyper, eps, alpha, beta
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-train", type=int, default=128)
@@ -126,6 +183,20 @@ def main():
                          "with the same directory skips completed blocks "
                          "(remote TPU workers die transiently — at "
                          "north-star sizes the assembly is hours)")
+    ap.add_argument("--mlii", type=int, default=0,
+                    help="ML-II steps fitting (w_std, b_std, last_w_std, "
+                         "eps[, a, b]) on an --mlii-n training subset before "
+                         "building the big Gram; gradients run through the "
+                         "fused kernel's scalar-tangent backward")
+    ap.add_argument("--mlii-n", type=int, default=512,
+                    help="subset size for the ML-II fit")
+    ap.add_argument("--mlii-method", choices=["gp", "tp"], default="tp",
+                    help="marginal for the ML-II fit: Gaussian (gp) or "
+                         "Student-t (tp; also learns a, b and feeds them to "
+                         "the predictive)")
+    ap.add_argument("--mlii-lr", type=float, default=1e-2,
+                    help="Adam learning rate for the ML-II fit (the "
+                         "reference regression default)")
     ap.add_argument("--chol", choices=["auto", "xla", "blocked", "inplace"],
                     default="auto",
                     help="factorization kernel: snngp's blocked right-looking"
@@ -148,6 +219,10 @@ def main():
 
     import jax.numpy as _jnp
     hyper = dict(w_std=1.0, b_std=0.1, last_w_std=1.0)
+    if args.mlii:
+        n_fit = min(args.mlii_n, args.n_train)
+        hyper, args.eps, args.alpha, args.beta = mlii_fit(
+            args, x_train[:n_fit], y_train[:n_fit])
     kfn = get_myrtle_kernel(args.depth, 1, "relu",
                             dtype=_jnp.bfloat16 if args.bf16 else None,
                             **hyper)

@@ -21,6 +21,7 @@ __all__ = [
     "get_cnn_kernel",
     "get_conv_resnet_kernel",
     "get_dense_resnet_kernel",
+    "get_myrtle_kernel",
     "get_mlp_layer",
     "get_cnn_layer",
     "get_conv_resnet_layer",
@@ -236,9 +237,41 @@ def get_dense_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
 
     return kernel_fn
 
+def get_myrtle_kernel(depth=5, num_class=1, act="relu", w_std=1.0, b_std=0.0,
+                      last_w_std=1.0, trainable_inputs=True):
+    """Myrtle-{5,7,10} kernel_fn (full spatial-covariance tier with 2x2
+    average pooling + GAP) with TPU auto-dispatch to the fused Pallas kernel
+    (snngp/ops/pallas/myrtle_gram.py; ~20x the XLA tier at 32x32).
+
+    ``trainable_inputs=False``: ML-II scalar-only gradients via the fused
+    tangent kernel (see :func:`get_mlp_kernel`); required for
+    kernel-hyperparameter training at sizes where the XLA-tier reverse
+    recursion would OOM. Compiled fused shapes are 16x16/32x32 (8x8 and
+    other shapes use the XLA full tier)."""
+    from snngp.nn.full import get_myrtle_kernel as _full_myrtle
+    ref_fn = _full_myrtle(depth, num_class, act, w_std=w_std, b_std=b_std,
+                          last_w_std=last_w_std)
+
+    def kernel_fn(x1, x2=None, get="nngp"):
+        import jax
+        x2_eff = x1 if x2 is None else x2
+        if (get == "nngp" and x1.ndim == 4 and x1.shape[1] == x1.shape[2]
+                and x1.shape[1] in (16, 32)
+                and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
+                and jax.default_backend() == "tpu"):
+            from snngp.ops.pallas.myrtle_gram import myrtle_gram
+            return myrtle_gram(x1, x2_eff, depth=depth, act=act, w_std=w_std,
+                               b_std=b_std, last_w_std=last_w_std,
+                               trainable_inputs=trainable_inputs)
+        return ref_fn(x1, x2, get=get)
+
+    return kernel_fn
+
+
 KERNELS = {
     "mlp": get_mlp_kernel,
     "cnn": get_cnn_kernel,
     "resnet-conv": get_conv_resnet_kernel,
     "resnet-dense": get_dense_resnet_kernel,
+    "myrtle": get_myrtle_kernel,
 }
