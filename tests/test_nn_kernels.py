@@ -211,3 +211,22 @@ def test_conv_resnet_ntk_matches_finite_width_mc():
     ntk_mc = jnp.mean(jax.lax.map(empirical_ntk, keys), axis=0)
     # k=2, 24 inits: measured max dev 0.16 at kernel scale ~3.3.
     np.testing.assert_allclose(np.asarray(theta), np.asarray(ntk_mc), atol=0.35)
+
+
+def test_arch_myrtle_kernel_matches_full_tier():
+    """arch.get_myrtle_kernel (the KERNELS['myrtle'] builder) falls back to
+    the XLA full tier off-TPU and matches full.get_myrtle_kernel exactly;
+    the fused auto-dispatch path itself is covered by
+    tests/test_myrtle_pallas.py in interpret mode."""
+    from snngp.nn.full import get_myrtle_kernel as full_myrtle
+    rng = np.random.RandomState(0)
+    x1 = jnp.asarray(rng.rand(3, 8, 8, 3), jnp.float32)
+    x2 = jnp.asarray(rng.rand(4, 8, 8, 3), jnp.float32)
+    kfn = arch.get_myrtle_kernel(5, 1, "relu", w_std=1.2, b_std=0.2,
+                                 last_w_std=0.9, trainable_inputs=False)
+    want = full_myrtle(5, 1, "relu", w_std=1.2, b_std=0.2,
+                       last_w_std=0.9)(x1, x2, get="nngp")
+    got = kfn(x1, x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    assert "myrtle" in arch.KERNELS
