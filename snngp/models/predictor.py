@@ -32,13 +32,14 @@ from jax.scipy.linalg import solve_triangular
 
 from snngp.models import params as P
 from snngp.ops import get_correct_count, test_log_likelihood
-from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_quad_form,
-                              chol_solve, inv_psd)
+from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_append,
+                              chol_quad_form, chol_solve, inv_psd)
 
 __all__ = ["fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP"]
 
 
-def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
+def fit_spr(model, params, memory_lean: bool = False,
+            extendable: bool = False) -> "FittedSPR":
     """One-time train-side solve for an :class:`snngp.models.gp.SPR`.
 
     Computes the train Gram (row-sharded over the model's mesh when one is
@@ -59,7 +60,19 @@ def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
     (``chol_lower = 0``) and every solve in :class:`FittedSPR` branches
     accordingly. Same numerics as the default path (tested to fp32
     resolution); costs two extra host<->device transfers of K.
+
+    ``extendable=True`` caches what :meth:`FittedSPR.extend` needs to grow
+    the training set incrementally in O(N^2 m): the absolute regularizer
+    actually applied (the nt-relative value is resolved at fit time and
+    FROZEN — later extensions reuse it rather than re-deriving it from the
+    drifting mean diagonal) and, for a Student-t likelihood, the scaled-Gram
+    factor (an extra [N, N] — the price of extending the data-dependent
+    ``d``). Not supported together with ``memory_lean``.
     """
+    if extendable and memory_lean:
+        raise ValueError("extendable fits keep extra factors resident; "
+                         "memory_lean exists to avoid exactly that — "
+                         "pick one")
     eps = P.constrained_read(params["eps"], model.bij)
     kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
     lik_params = params["likelihood"]
@@ -116,6 +129,8 @@ def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
         "y_mean": jnp.asarray(model.y_mean, jnp.float32),
         "y_std": jnp.asarray(model.y_std, jnp.float32),
     }
+    if extendable:  # freeze the absolute regularizer add_diag_reg applied
+        state["reg"] = eps * jnp.trace(k_dd) / model.num_data
 
     if require:  # Student-t conditional predictive
         a, b = model.likelihood._ab(lik_params)
@@ -124,6 +139,8 @@ def fit_spr(model, params, memory_lean: bool = False) -> "FittedSPR":
         state["d"] = df + chol_quad_form(chol_t, model.y_data)
         state["cond_df"] = df + model.num_data
         state["scale_ba"] = b / a
+        if extendable:
+            state["chol_t"] = chol_t
 
     return FittedSPR(model, params, state)
 
@@ -174,6 +191,67 @@ class FittedSPR:
         else:
             log_prob = stats.norm.logpdf(y_den, mean, jnp.sqrt(var))
         return -jnp.mean(log_prob)
+
+    def extend(self, x_new, y_new) -> "FittedSPR":
+        """New fitted predictor with ``m`` extra training points, without
+        refactorizing: the cached factor grows by a bordered-block update
+        (:func:`snngp.ops.linalg.chol_append`, O(N^2 m) vs the O((N+m)^3)
+        refit), the target solve is redone against the new factor (two
+        O(N^2) triangular solves), and the Student-t data-dependent scale
+        ``d`` is recomputed from the extended scaled-Gram factor.
+
+        Requires ``fit_spr(..., extendable=True)``. ``y_new`` is raw-scale;
+        it is normalized with the FIT-TIME mean/std (extension grows the
+        conditioning set — it does not re-standardize). The frozen fit-time
+        regularizer is applied to the new diagonal block, so an extended
+        predictor equals a direct factorization of the same bordered matrix
+        to fp32 resolution (tests/test_predictor.py pins this).
+        """
+        s = self.state
+        if "reg" not in s:
+            raise ValueError("extend() needs fit_spr(..., extendable=True)")
+        from snngp.models.gp import SPR
+
+        model = self.model
+        x_new = jnp.asarray(x_new)
+        m = x_new.shape[0]
+        y_n = (jnp.asarray(y_new).reshape(-1) - s["y_mean"]) / s["y_std"]
+
+        k_nb = model.kernel.K(self._kernel_fn, model.x_data, x_new)  # [N, m]
+        k_bb = model.kernel.K(self._kernel_fn, x_new)                # [m, m]
+        eye_m = jnp.eye(m, dtype=k_bb.dtype)
+        chol = chol_append(s["chol"], k_nb, k_bb + s["reg"] * eye_m,
+                           lower=self._chol_lower)
+
+        x_all = jnp.concatenate([model.x_data, x_new])
+        y_all = jnp.concatenate([model.y_data, y_n])
+        new_model = SPR(model.kernel, model.likelihood, x_all, y_all,
+                        model.y_mean, model.y_std, eps=model._eps_init,
+                        mesh=model.mesh)
+
+        state = {
+            "chol": chol,
+            "alpha": chol_solve(chol, y_all[:, None]) if self._chol_lower
+            else solve_triangular(
+                chol, solve_triangular(chol, y_all[:, None], lower=False,
+                                       trans=1), lower=False),
+            "y_mean": s["y_mean"],
+            "y_std": s["y_std"],
+            "reg": s["reg"],
+        }
+        if "chol_lower" in s:
+            state["chol_lower"] = s["chol_lower"]
+        if self._student_t:
+            ba = s["scale_ba"]
+            chol_t = chol_append(s["chol_t"], ba * k_nb,
+                                 ba * k_bb + 1e-6 * eye_m,
+                                 lower=self._chol_lower)
+            df = s["cond_df"] - model.num_data
+            state["chol_t"] = chol_t
+            state["d"] = df + chol_quad_form(chol_t, y_all)
+            state["cond_df"] = df + new_model.num_data
+            state["scale_ba"] = ba
+        return FittedSPR(new_model, self.params, state)
 
     def _posterior(self, x):
         """Normalized posterior mean + variance diagonal ([n], [n]).

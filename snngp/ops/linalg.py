@@ -33,6 +33,7 @@ __all__ = [
     "split_kernel",
     "cholesky",
     "chol_solve",
+    "chol_append",
     "chol_logdet",
     "chol_quad_form",
     "solve_psd",
@@ -94,6 +95,37 @@ def chol_quad_form(chol: jax.Array, y: jax.Array) -> jax.Array:
     """y^T A^{-1} y via one triangular solve."""
     alpha = solve_triangular(chol, y, lower=True)
     return jnp.sum(alpha * alpha, axis=-1 if y.ndim == 1 else -2)
+
+
+def chol_append(chol: jax.Array, k_nb: jax.Array, k_bb: jax.Array,
+                lower: bool = True) -> jax.Array:
+    """Extend a Cholesky factor by m new rows/columns in O(n^2 m).
+
+    Given the factor of ``A`` [n, n] and the blocks of the bordered matrix
+    ``[[A, k_nb], [k_nb^T, k_bb]]`` (``k_nb`` [n, m], ``k_bb`` [m, m],
+    already regularized), returns the factor of the extended matrix without
+    refactorizing the n x n block — the serving-path primitive for growing
+    a fitted GP's training set (:meth:`snngp.models.predictor.FittedSPR.extend`).
+
+    ``lower=True`` extends L (A = L L^T); ``lower=False`` extends the UPPER
+    factor U (A = U^T U, the orientation
+    :func:`snngp.parallel.cholesky.inplace_blocked_cholesky` returns).
+    """
+    m = k_bb.shape[-1]
+    if lower:
+        l21 = solve_triangular(chol, k_nb, lower=True).T        # [m, n]
+        s = k_bb - l21 @ l21.T
+        l22 = jnp.linalg.cholesky(s)
+        top = jnp.concatenate(
+            [chol, jnp.zeros((chol.shape[0], m), chol.dtype)], axis=1)
+        return jnp.concatenate([top, jnp.concatenate([l21, l22], axis=1)])
+    u12 = solve_triangular(chol, k_nb, lower=False, trans=1)    # [n, m]
+    s = k_bb - u12.T @ u12
+    u22 = jnp.linalg.cholesky(s).T                              # upper
+    top = jnp.concatenate([chol, u12], axis=1)
+    bot = jnp.concatenate(
+        [jnp.zeros((m, chol.shape[0]), chol.dtype), u22], axis=1)
+    return jnp.concatenate([top, bot])
 
 
 def solve_psd(mat: jax.Array, b: jax.Array) -> jax.Array:

@@ -80,12 +80,13 @@ class SNNGPRegressor(_EstimatorBase):
 
     _param_names = ("method", "network", "num_hiddens", "activation",
                     "w_std", "b_std", "last_w_std", "alpha", "beta", "eps",
-                    "optimizer", "lr", "max_steps", "normalize_y", "seed")
+                    "optimizer", "lr", "max_steps", "normalize_y", "seed",
+                    "extendable")
 
     def __init__(self, method="tp", network="mlp", num_hiddens=4,
                  activation="relu", w_std=1.0, b_std=1e-8, last_w_std=1.0,
                  alpha=2.0, beta=2.0, eps=1e-6, optimizer="adam", lr=1e-2,
-                 max_steps=0, normalize_y=True, seed=10):
+                 max_steps=0, normalize_y=True, seed=10, extendable=False):
         self.method = method
         self.network = network
         self.num_hiddens = num_hiddens
@@ -101,6 +102,7 @@ class SNNGPRegressor(_EstimatorBase):
         self.max_steps = max_steps
         self.normalize_y = normalize_y
         self.seed = seed
+        self.extendable = extendable
 
     # -- sklearn protocol --------------------------------------------------
 
@@ -140,7 +142,20 @@ class SNNGPRegressor(_EstimatorBase):
 
         self.model_ = model
         self.params_ = params
-        self.fitted_ = fit_spr(model, params)
+        self.fitted_ = fit_spr(model, params, extendable=self.extendable)
+        return self
+
+    def add_data(self, X, y):
+        """Grow the fitted training set incrementally (O(N^2 m), no refit).
+
+        Requires ``extendable=True`` at construction. New targets are
+        normalized with the FIT-TIME statistics; hyperparameters are not
+        re-trained (call ``fit`` on the combined data for that).
+        """
+        self.fitted_ = self.fitted_.extend(
+            jnp.asarray(np.asarray(X, np.float32)),
+            jnp.asarray(np.asarray(y, np.float32).reshape(-1)))
+        self.model_ = self.fitted_.model
         return self
 
     def predict(self, X, return_std: bool = False):

@@ -194,3 +194,100 @@ def test_fit_spr_memory_lean_save_load(tmp_path):
     m1, v1 = back.predict(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-6)
+
+
+def test_chol_append_matches_direct_factorization():
+    """Bordered-block Cholesky extension == direct factorization (both
+    orientations)."""
+    from snngp.ops.linalg import chol_append
+    rng = np.random.RandomState(3)
+    a = rng.randn(12, 16).astype(np.float32)
+    big = a @ a.T + 0.5 * np.eye(12, dtype=np.float32)
+    n, m = 8, 4
+    chol_l = jnp.linalg.cholesky(jnp.asarray(big[:n, :n]))
+    got_l = chol_append(chol_l, jnp.asarray(big[:n, n:]),
+                        jnp.asarray(big[n:, n:]), lower=True)
+    want_l = np.linalg.cholesky(big)
+    np.testing.assert_allclose(np.asarray(got_l), want_l, rtol=2e-5,
+                               atol=1e-6)
+
+    chol_u = jnp.asarray(np.linalg.cholesky(big[:n, :n]).T)
+    got_u = chol_append(chol_u, jnp.asarray(big[:n, n:]),
+                        jnp.asarray(big[n:, n:]), lower=False)
+    np.testing.assert_allclose(np.asarray(got_u), want_l.T, rtol=2e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fitted_extend_matches_bordered_solve(method):
+    """extend() == a dense GP/TP predictive over the bordered matrix with
+    the frozen fit-time regularizer (the documented extension semantics)."""
+    model = _toy_spr(method, n=20)
+    params = model.init_params()
+    fitted = fit_spr(model, params, extendable=True)
+
+    rng = np.random.RandomState(5)
+    x_new = rng.randn(6, 3).astype(np.float32)
+    y_new = rng.randn(6).astype(np.float32)
+    x_test = rng.randn(7, 3).astype(np.float32)
+    y_test = rng.randn(7).astype(np.float32)
+
+    ext = fitted.extend(jnp.asarray(x_new), jnp.asarray(y_new))
+    assert ext.model.num_data == 26
+    mean, var = ext.predict(jnp.asarray(x_test))
+
+    # dense reference over the bordered system
+    kfn = model.kernel.get_kernel_fn(params["kernel"])
+    s = fitted.state
+    x_all = np.concatenate([np.asarray(model.x_data), x_new])
+    y_all = np.concatenate([
+        np.asarray(model.y_data),
+        (y_new - float(s["y_mean"])) / float(s["y_std"])])
+    k_aa = np.asarray(kfn(jnp.asarray(x_all), jnp.asarray(x_all)))
+    k_ta = np.asarray(kfn(jnp.asarray(x_test), jnp.asarray(x_all)))
+    k_tt = np.asarray(kfn(jnp.asarray(x_test), jnp.asarray(x_test)))
+    a_mat = k_aa + float(s["reg"]) * np.eye(26, dtype=np.float32)
+    sol = np.linalg.solve(a_mat.astype(np.float64), y_all.astype(np.float64))
+    mean_ref = k_ta @ sol * float(s["y_std"]) + float(s["y_mean"])
+    var_ref = np.diag(k_tt - k_ta @ np.linalg.solve(
+        a_mat.astype(np.float64), k_ta.T.astype(np.float64))) \
+        * float(s["y_std"]) ** 2
+    if method == "tp":
+        a, b = model.likelihood._ab(params["likelihood"])
+        df = 2 * float(a)
+        ba = float(b / a)
+        t_mat = ba * k_aa + 1e-6 * np.eye(26, dtype=np.float32)
+        d = df + y_all @ np.linalg.solve(t_mat.astype(np.float64), y_all)
+        var_ref = (d / (df + 26)) * ba * var_ref
+        np.testing.assert_allclose(float(ext.state["d"]), d, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(var), var_ref, rtol=2e-3,
+                               atol=2e-5)
+    assert np.isfinite(float(ext.test_nll(jnp.asarray(x_test),
+                                          jnp.asarray(y_test))))
+
+
+def test_fitted_extend_requires_extendable():
+    model = _toy_spr("gp", n=16)
+    fitted = fit_spr(model, model.init_params())
+    with pytest.raises(ValueError):
+        fitted.extend(jnp.zeros((2, 3)), jnp.zeros((2,)))
+
+
+def test_sklearn_add_data_interpolates():
+    """Facade add_data: the grown predictor conditions on the new points."""
+    from snngp.sklearn import SNNGPRegressor
+    rng = np.random.RandomState(0)
+    x = rng.randn(24, 3).astype(np.float32)
+    y = (x @ np.array([1.0, -2.0, 0.5]) + 0.01 * rng.randn(24)).astype(
+        np.float32)
+    est = SNNGPRegressor(method="gp", eps=1e-4, extendable=True).fit(
+        x[:16], y[:16])
+    before = est.predict(x[16:])
+    est.add_data(x[16:], y[16:])
+    after = est.predict(x[16:])
+    assert est.model_.num_data == 24
+    # conditioning on the new points pulls predictions onto their targets
+    assert (np.abs(after - y[16:]).mean()
+            < 0.5 * np.abs(before - y[16:]).mean())
