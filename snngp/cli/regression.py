@@ -417,6 +417,15 @@ def _add_predict_parser(subparsers):
                         help="path for the fitted solve cache: loaded if it "
                              "exists, written after fitting otherwise — "
                              "repeat predictions skip the N x N factorization")
+    parser.add_argument("-ax", "--add-x", type=str, default=None,
+                        help=".npy of raw inputs to ADD to the conditioning "
+                             "set before predicting (normalized with the "
+                             "train-split stats): grows the cached factor in "
+                             "O(N^2 m) via chol_append instead of an "
+                             "O((N+m)^3) refit; applies in-process, the "
+                             "on-disk fitted-state cache is left unchanged")
+    parser.add_argument("-ay", "--add-y", type=str, default=None,
+                        help=".npy of raw-scale targets for --add-x")
     parser.add_argument("-q",  "--quite",      default=False, action="store_true")
 
 
@@ -438,14 +447,33 @@ def predict_main(args):
         model, params, splits, context = _restore_model(args)
         _, _, (x_test, y_test), _ = splits
 
+        want_extend = args.add_x is not None or args.add_y is not None
+        if want_extend and not (args.add_x and args.add_y):
+            raise ValueError("--add-x and --add-y go together")
+
         if args.fitted_state and os.path.exists(args.fitted_state):
             fitted = FittedSPR.load(args.fitted_state, model)
             logger.log(f"loaded fitted state from {args.fitted_state}")
         else:
-            fitted = fit_spr(model, params)
+            fitted = fit_spr(model, params, extendable=want_extend)
             if args.fitted_state:
                 fitted.save(args.fitted_state)
                 logger.log(f"saved fitted state to {args.fitted_state}")
+
+        if want_extend:
+            if "reg" not in fitted.state:
+                logger.log("cached fitted state is not extendable; "
+                           "refitting with extendable=True")
+                fitted = fit_spr(model, params, extendable=True)
+            x_mean, x_std = _train_x_stats(context["data_name"],
+                                           args.data_root)
+            x_add = jnp.asarray(
+                np.nan_to_num((np.load(args.add_x) - x_mean) / x_std),
+                jnp.float32)
+            y_add = jnp.asarray(np.load(args.add_y), jnp.float32)
+            fitted = fitted.extend(x_add, y_add)
+            logger.log(f"extended conditioning set by {x_add.shape[0]} "
+                       f"-> {fitted.model.num_data} points (in-process)")
 
         if args.input:
             x_raw = np.load(args.input)

@@ -54,6 +54,22 @@ def test_regression_train_then_test(tmp_path):
     pred_log2 = open(os.path.join(ckpt_dir, "predict", "predict.log")).read()
     assert "loaded fitted state" in pred_log2 and "Traceback" not in pred_log2
 
+    # predict --add-x/--add-y: grow the conditioning set in O(N^2 m) via
+    # chol_append. The cached fitted state predates extendable=True, so the
+    # refit branch runs too.
+    from snngp.data.regression import get_dataset
+    x_raw, y_raw = get_dataset(name="syn-normal", root="./data")
+    np.save(str(tmp_path / "add_x.npy"), np.asarray(x_raw[-12:]))
+    np.save(str(tmp_path / "add_y.npy"), np.asarray(y_raw[-12:]))
+    _run_cli(["reg", "pr", "-cd", ckpt_dir, "-fs", fitted_path,
+              "-ax", str(tmp_path / "add_x.npy"),
+              "-ay", str(tmp_path / "add_y.npy"), "-q"])
+    pred_log3 = open(os.path.join(ckpt_dir, "predict", "predict.log")).read()
+    assert "extended conditioning set by 12" in pred_log3
+    assert "Traceback" not in pred_log3
+    preds3 = np.load(os.path.join(ckpt_dir, "predictions.npz"))
+    assert np.all(np.isfinite(preds3["mean"])) and np.all(preds3["var"] > 0)
+
 
 def test_regression_train_gp_smoke(tmp_path):
     ckpt_root = str(tmp_path / "ckpt")
