@@ -760,6 +760,10 @@ def myrtle_gram(x1: jax.Array, x2: Optional[jax.Array] = None, *,
         x2 = x1
     dtype_key = ("bfloat16" if dtype in (jnp.bfloat16, "bfloat16", "bf16")
                  else "float32")
+    if not trainable_inputs and dtype_key != "float32":
+        # fail at the API, not on the first backward pass
+        raise ValueError("scalar-tangent gradients (trainable_inputs=False) "
+                         "are fp32-only")
     fn = _myrtle_gram if trainable_inputs else _myrtle_gram_scalar
     return fn(depth, act, dtype_key, x1, x2,
               jnp.asarray(w_std, jnp.float32),
