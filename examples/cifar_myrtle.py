@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from snngp.nn.full import get_myrtle_kernel
 from snngp.ops.linalg import add_jitter, chol_quad_form
-from snngp.ops.mvt import multivariate_t_logpdf
 from snngp.utils.profiling import Profiler
 
 
@@ -271,10 +270,14 @@ def main():
         def gram(a, b, symmetric, name=""):
             resume = (os.path.join(args.resume_gram, f"gram_{name}.npy")
                       if args.resume_gram else None)
-            return jnp.asarray(myrtle_gram_tiled(
+            # Stays host-side (numpy): at north-star sizes the train Gram is
+            # n^2 fp32 (4 GiB at N=32768) and parking it in HBM while the
+            # cross/test Pallas blocks still have to dispatch OOMs the chip.
+            # It is transferred (and donated) only at the Cholesky phase.
+            return myrtle_gram_tiled(
                 a, None if symmetric else b, depth=args.depth, act="relu",
                 block=args.fused_block, log=print, dtype=fused_dtype,
-                resume_path=resume, **hyper))
+                resume_path=resume, **hyper)
     else:
         def gram(a, b, symmetric, name=""):
             return tiled_gram(kfn, a, b, args.tile,
@@ -321,6 +324,12 @@ def main():
     else:
         chol_kernel = jax.jit(
             lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))
+    if not isinstance(k_dd, jax.Array):
+        # Host-assembled (fused tiled) Gram: move to HBM only now, after the
+        # cross/test blocks are done with the chip, so peak device memory is
+        # max(kernel workspace, n^2 + factor workspace) instead of their sum.
+        with prof.phase("h2d_train_gram"):
+            k_dd = prof.observe(jnp.asarray(k_dd))
     with prof.phase("cholesky"):
         chol = prof.observe(chol_kernel(k_dd))
     if use_inplace:
@@ -332,25 +341,45 @@ def main():
     @jax.jit
     def predictive(chol, k_td, k_tt, y_train, y_test):
         from jax.scipy.linalg import cho_solve, solve_triangular
-        mean = k_td @ cho_solve((chol, chol_lower), y_train)
         if chol_lower:
+            mean = k_td @ cho_solve((chol, True), y_train)
             v = solve_triangular(chol, k_td.T, lower=True)
             quad = chol_quad_form(chol, y_train)
         else:
-            # Upper factor U = L^T from the in-place kernel: L^{-1} x is
-            # U^{-T} x, i.e. a transposed upper solve.
-            v = solve_triangular(chol, k_td.T, lower=False, trans=1)
-            alpha = solve_triangular(chol, y_train, lower=False, trans=1)
-            quad = jnp.sum(alpha * alpha)
-        cov = k_tt - v.T @ v
-        # Student-t process predictive: conditional-t scale inflation.
+            # Upper factor U = L^T from the in-place kernel. XLA's
+            # monolithic triangular_solve materializes a masked full-size
+            # copy of the factor plus ~5 GB of staggered scan temps (12 GB
+            # of HLO temp at N=32768 — OOMs a 16 GB chip with the 4 GiB
+            # factor resident), so this path uses the memory-lean panel
+            # solve: O(n * block) temps against the never-copied factor.
+            from snngp.parallel.cholesky import blocked_triangular_solve
+            beta = blocked_triangular_solve(chol, y_train, trans=True)
+            mean = k_td @ blocked_triangular_solve(chol, beta, trans=False)
+            v = blocked_triangular_solve(chol, k_td.T, trans=True)
+            quad = jnp.sum(beta * beta)
+        # Student-t process predictive, per-point conditional-t — the
+        # reference's test form (spax/likelihoods.py:52-65 takes
+        # sqrt(diag(...)) and scores with the univariate t). The DIAGONAL
+        # is also all fp32 can resolve at north-star N: the posterior
+        # variance ~1e-7 comes from cancelling 0.027-scale terms over a
+        # 32768-long contraction, so the off-diagonal structure of
+        # k_tt - v^T v is numerical noise and a full-cov MVT factorization
+        # goes indefinite (measured: all-nan Cholesky at N=32768).
+        var = jnp.diagonal(k_tt) - jnp.sum(v * v, axis=0)
+        # fp32 floor: below ~1e-6 of the prior variance the cancellation
+        # noise dominates any true signal.
+        var = jnp.maximum(var, 1e-6 * jnp.diagonal(k_tt))
         df = 2 * args.alpha
-        d = df + quad
+        # Reference quad is y^T (b/a K + jitter)^{-1} y; the factor here is
+        # of K + eps, so rescale by a/b.
+        d = df + (args.alpha / args.beta) * quad
         cond_df = df + args.n_train
-        t_cov = (d / cond_df) * (args.beta / args.alpha) * cov
-        t_jit = 1e-4 + (1e-2 if bf16_effective else 0.0)
-        return -jnp.mean(multivariate_t_logpdf(
-            y_test, mean, add_jitter(t_cov, t_jit), cond_df))
+        t_var = (d / cond_df) * (args.beta / args.alpha) * var
+        if bf16_effective:
+            t_var = t_var + 1e-2
+        from jax.scipy.stats import t as t_dist
+        return -jnp.mean(t_dist.logpdf(y_test, cond_df, mean,
+                                       jnp.sqrt(t_var)))
 
     with prof.phase("predictive"):
         nll = prof.observe(predictive(

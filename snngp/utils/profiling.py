@@ -26,7 +26,12 @@ def _sync(value=None):
         leaves = [l for l in jax.tree_util.tree_leaves(value)
                   if hasattr(l, "dtype")]
         if leaves:
-            float(jnp.sum(leaves[0].ravel()[0]))
+            # Index one element directly: an eager .ravel() is a full device
+            # copy, which transiently doubles memory on north-star-sized
+            # arrays (10 GB Gram -> 20 GB -> OOM on a 16 GB chip).
+            lead = leaves[0]
+            idx = (0,) * getattr(lead, "ndim", 0)
+            float(jnp.sum(lead[idx] if idx else lead))
             return
     # No value to hang on: issue a trivial device computation and fetch it.
     float(jnp.zeros(()))

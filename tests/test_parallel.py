@@ -371,3 +371,66 @@ def test_inplace_blocked_cholesky_inside_jit_with_donation():
     u = jax.jit(chol_kernel.__wrapped__, donate_argnums=0)(a)
     got = cho_solve((u, False), y)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_blocked_triangular_solve_parity():
+    """Memory-lean panel solve vs jax.scipy solve_triangular, both
+    directions, multi-RHS, 1-D RHS, ragged sizes with auto divisor blocks
+    (the kernel the north-star predictive runs against the in-place
+    factor: XLA's monolithic solve needs ~3x the factor in HLO temps and
+    OOMs a 16 GB chip at N=32768)."""
+    from jax.scipy.linalg import solve_triangular
+    from snngp.parallel.cholesky import blocked_triangular_solve
+    rng = np.random.RandomState(11)
+    for n, blk in [(64, 16), (96, None), (100, None), (50, 16), (33, None)]:
+        a = _psd(n, seed=n)
+        u = np.triu(np.asarray(jnp.linalg.cholesky(a)).T)
+        for r in (1, 4):
+            b = rng.randn(n, r).astype(np.float32)
+            for trans in (True, False):
+                want = solve_triangular(jnp.asarray(u), jnp.asarray(b),
+                                        lower=False, trans=1 if trans else 0)
+                got = blocked_triangular_solve(
+                    jnp.asarray(u), jnp.asarray(b), trans=trans, block=blk)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4,
+                    err_msg=f"n={n} blk={blk} r={r} trans={trans}")
+        b1 = rng.randn(n).astype(np.float32)
+        got1 = blocked_triangular_solve(jnp.asarray(u), jnp.asarray(b1),
+                                        trans=True, block=blk)
+        want1 = solve_triangular(jnp.asarray(u), jnp.asarray(b1),
+                                 lower=False, trans=1)
+        assert got1.shape == (n,)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_inplace_factor_plus_blocked_solve_predictive():
+    """The full memory-lean predictive composition from
+    examples/cifar_myrtle.py: in-place upper factor -> forward solve for
+    beta -> back solve for K^{-1}y -> cross-cov whitening, vs the dense
+    reference (reference sites spax/models.py:100-120)."""
+    from snngp.ops.linalg import add_jitter
+    from snngp.parallel.cholesky import (blocked_triangular_solve,
+                                         inplace_blocked_cholesky)
+    n, m = 120, 7
+    rng = np.random.RandomState(3)
+    a = _psd(n, seed=8)
+    k_td = jnp.asarray(rng.randn(m, n).astype(np.float32) * 0.1)
+    k_tt = jnp.asarray(np.eye(m, dtype=np.float32))
+    y = jnp.asarray(rng.randn(n).astype(np.float32))
+    kj = add_jitter(a, 1e-4)
+    want_mean = k_td @ jnp.linalg.solve(kj, y)
+    want_cov = k_tt - k_td @ jnp.linalg.solve(kj, k_td.T)
+    want_quad = y @ jnp.linalg.solve(kj, y)
+    u = inplace_blocked_cholesky(add_jitter(a, 1e-4), block=40)
+    beta = blocked_triangular_solve(u, y, trans=True, block=40)
+    mean = k_td @ blocked_triangular_solve(u, beta, trans=False, block=40)
+    v = blocked_triangular_solve(u, k_td.T, trans=True, block=40)
+    cov = k_tt - v.T @ v
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(cov), np.asarray(want_cov),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(jnp.sum(beta * beta)),
+                               float(want_quad), rtol=1e-3)
