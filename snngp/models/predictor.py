@@ -79,7 +79,13 @@ def fit_spr(model, params, memory_lean: bool = False,
     require = model.likelihood.require
 
     if memory_lean:
-        from snngp.parallel.cholesky import inplace_blocked_cholesky
+        # Every solve against the full-size factor goes through the panel
+        # solve: XLA's monolithic triangular_solve expander needs ~3x the
+        # factor in HLO temps (a masked full-size copy + staggered scan
+        # buffers — measured 12 GB at N=32768) and OOMs exactly the Grams
+        # this path exists for.
+        from snngp.parallel.cholesky import (blocked_triangular_solve,
+                                             inplace_blocked_cholesky)
 
         state = {
             "y_mean": jnp.asarray(model.y_mean, jnp.float32),
@@ -97,7 +103,7 @@ def fit_spr(model, params, memory_lean: bool = False,
                 lambda k: inplace_blocked_cholesky(
                     add_jitter(scale * k, 1e-6)),
                 donate_argnums=0)(jnp.asarray(k_host))
-            at = solve_triangular(u_t, model.y_data, lower=False, trans=1)
+            at = blocked_triangular_solve(u_t, model.y_data, trans=True)
             state["d"] = df + jnp.sum(at * at)
             state["d"].block_until_ready()
             del u_t, at
@@ -113,8 +119,8 @@ def fit_spr(model, params, memory_lean: bool = False,
             donate_argnums=0)(k_dev)
         state["chol"] = u
         # K^{-1} y with K = U^T U: back-to-back transposed/plain upper solves.
-        z = solve_triangular(u, model.y_data[:, None], lower=False, trans=1)
-        state["alpha"] = solve_triangular(u, z, lower=False)
+        z = blocked_triangular_solve(u, model.y_data[:, None], trans=True)
+        state["alpha"] = blocked_triangular_solve(u, z, trans=False)
         return FittedSPR(model, params, state)
 
     chol_fn = model.chol_fn or jnp.linalg.cholesky
@@ -269,8 +275,10 @@ class FittedSPR:
             v = solve_triangular(s["chol"], k_td.T, lower=True)  # [N, n]
         else:
             # memory-lean fit stores the UPPER factor U = L^T; L^{-1} x is
-            # the transposed upper solve.
-            v = solve_triangular(s["chol"], k_td.T, lower=False, trans=1)
+            # the transposed upper solve, via the panel solve so serving a
+            # north-star-size fit never materializes a factor copy.
+            from snngp.parallel.cholesky import blocked_triangular_solve
+            v = blocked_triangular_solve(s["chol"], k_td.T, trans=True)
         k_tt = model.kernel.K(self._kernel_fn, x)                # [n, n]
         var = jnp.diag(k_tt - v.T @ v)
         return mean, var
