@@ -867,10 +867,11 @@ def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
             done = np.zeros(len(todo), bool)
             np.save(done_path, done)
 
-    for t, (i, j) in enumerate(todo):
-        if done is not None and done[t]:
-            continue
-        piece = np.asarray(fn(blk(x1, i), blk(x2e, j)))
+    def commit(t, i, j, dev):
+        # Fetch + memmap write for an already-dispatched block. The done
+        # bit is set only after the block is on disk, so a crash loses at
+        # most the in-flight block.
+        piece = np.asarray(dev)
         h = min(block, n1 - i)
         w = min(block, n2 - j)
         out[i:i + h, j:j + w] = piece[:h, :w]
@@ -882,4 +883,20 @@ def myrtle_gram_tiled(x1: jax.Array, x2: Optional[jax.Array] = None, *,
             np.save(done_path, done)
         if log is not None and (t % 8 == 0 or t == len(todo) - 1):
             log(f"myrtle_gram_tiled: block {t + 1}/{len(todo)}")
+
+    # Depth-1 dispatch pipeline: enqueue block t+1 before fetching block t,
+    # so the per-block host/tunnel overhead (dispatch latency + the 1 MB
+    # device->host fetch + the resume flush) overlaps device compute.
+    # Measured 10.0 s/block wall vs ~8.8 s device time at 512^2 pairs
+    # through the remote tunnel — ~12% of a multi-hour assembly.
+    pending = None
+    for t, (i, j) in enumerate(todo):
+        if done is not None and done[t]:
+            continue
+        dev = fn(blk(x1, i), blk(x2e, j))          # async dispatch
+        if pending is not None:
+            commit(*pending)
+        pending = (t, i, j, dev)
+    if pending is not None:
+        commit(*pending)
     return out
