@@ -40,7 +40,12 @@ def _add_train_parser(subparsers):
     parser.set_defaults(func=train_main)
 
     parser.add_argument("-m",   "--method",           choices=["svgp", "svtp"], required=True)
-    parser.add_argument("-n",   "--network",          choices=["cnn", "resnet"], default="cnn")
+    parser.add_argument("-n",   "--network",          choices=["cnn", "resnet", "myrtle"], default="cnn",
+                        help="kernel architecture; 'myrtle' (beyond the "
+                             "reference) is the pooled Myrtle-CNN NNGP with "
+                             "the fused Pallas Gram kernel on TPU — inducing "
+                             "inputs stay fixed at their class-proportional "
+                             "init and -nh selects the Myrtle depth (5/7/10)")
     parser.add_argument("-dr",  "--data-root",        type=str, default="./data")
     parser.add_argument("-dn",  "--data-name",        required=True)
     parser.add_argument("-cr",  "--ckpt-root",        type=str, default="./_ckpt/cls")
@@ -87,6 +92,9 @@ def _add_train_parser(subparsers):
 def _base_kernel(network):
     if network is None or network == "cnn":
         return "cnn", get_cnn_kernel
+    if network == "myrtle":
+        from snngp.nn.arch import get_myrtle_kernel
+        return "myrtle", get_myrtle_kernel
     return "resnet", get_conv_resnet_kernel
 
 
@@ -96,9 +104,30 @@ def _make_model(method, network, num_hiddens, activation, w_std, b_std,
     if get_kernel_fn is None:
         _, base_kernel_fn = _base_kernel(network)
 
-        def get_kernel_fn(w, b, l):
-            return base_kernel_fn(num_hiddens, num_class, activation,
-                                  w_std=w, b_std=b, last_w_std=l)
+        if network == "myrtle":
+            # Pooled Myrtle-CNN NNGP (beyond the reference's cnn/resnet
+            # surface, nt_kernels.py:34-80). num_hiddens selects the Myrtle
+            # depth. trainable_inputs=False: gradients flow only through the
+            # three scale scalars via the fused kernel's scalar-tangent
+            # backward — affordable at CIFAR scale where the XLA-tier
+            # reverse recursion over the spatial-covariance state OOMs. The
+            # inducing INPUTS therefore receive zero cotangents and stay at
+            # their class-proportional init (train_main also masks them out
+            # of the optimizer so the behavior is identical on the non-fused
+            # small-shape/CPU tiers, which do have input gradients).
+            if num_hiddens not in (5, 7, 10):
+                raise ValueError(
+                    "-n myrtle uses -nh/--num-hiddens as the Myrtle depth: "
+                    f"one of 5, 7, 10 (got {num_hiddens})")
+
+            def get_kernel_fn(w, b, l):
+                return base_kernel_fn(num_hiddens, num_class, activation,
+                                      w_std=w, b_std=b, last_w_std=l,
+                                      trainable_inputs=False)
+        else:
+            def get_kernel_fn(w, b, l):
+                return base_kernel_fn(num_hiddens, num_class, activation,
+                                      w_std=w, b_std=b, last_w_std=l)
 
     if method == "svgp":
         kernel = NNGPKernel(get_kernel_fn, w_std, b_std, last_w_std)
@@ -115,6 +144,12 @@ def _make_model(method, network, num_hiddens, activation, w_std, b_std,
 
 
 def train_main(args):
+    # Fail fast (before the logging try-block) on an invalid Myrtle depth.
+    if args.network == "myrtle" and args.num_hiddens not in (5, 7, 10):
+        raise ValueError(
+            "-n myrtle uses -nh/--num-hiddens as the Myrtle depth: "
+            f"one of 5, 7, 10 (got {args.num_hiddens})")
+
     dataset = get_train_dataset(
         name=args.data_name, root=args.data_root,
         num_data=args.num_data, valid_prop=args.valid_prop,
@@ -184,14 +219,29 @@ def train_main(args):
             base_pred = lambda n: "last_w_std" not in n
         else:
             base_pred = lambda n: True
+        # Myrtle: inducing inputs are fixed (the fused Gram kernel takes
+        # scalar-only gradients — their cotangents are exactly zero on the
+        # fused path; masking keeps the small-shape/CPU tiers, which do have
+        # input gradients, behaviorally identical).
+        if args.network == "myrtle":
+            _method_pred = base_pred
+            base_pred = lambda n: _method_pred(n) and "inducing_variable" not in n
+            logger.log("Myrtle kernel: inducing inputs fixed at their "
+                       "class-proportional init (scalar-only kernel gradients)")
 
         opt_cls = Adam if args.optimizer == "adam" else SGD
         if args.lr2:
             # Two optimizers: non-prior params at lr1, prior params at lr2.
             # NB: the reference's lr2 split does NOT apply the svtp
             # last_w_std freeze (classification/train.py:228-229 builds
-            # train_vars1 from all non-prior vars) — quirk preserved.
-            mask1 = name_mask(params, lambda n: "prior" not in n)
+            # train_vars1 from all non-prior vars) — quirk preserved. The
+            # myrtle inducing freeze is ours (no reference analogue), so it
+            # DOES apply here.
+            if args.network == "myrtle":
+                mask1 = name_mask(params, lambda n: "prior" not in n
+                                  and "inducing_variable" not in n)
+            else:
+                mask1 = name_mask(params, lambda n: "prior" not in n)
             mask2 = name_mask(params, lambda n: "prior" in n)
             optimizer1, optimizer2 = opt_cls(mask=mask1), opt_cls(mask=mask2)
             opt_state1, opt_state2 = optimizer1.init(params), optimizer2.init(params)

@@ -257,12 +257,22 @@ def get_myrtle_kernel(depth=5, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         x2_eff = x1 if x2 is None else x2
         if (get == "nngp" and x1.ndim == 4 and x1.shape[1] == x1.shape[2]
                 and x1.shape[1] in (16, 32)
-                and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
                 and jax.default_backend() == "tpu"):
-            from snngp.ops.pallas.myrtle_gram import myrtle_gram
-            return myrtle_gram(x1, x2_eff, depth=depth, act=act, w_std=w_std,
-                               b_std=b_std, last_w_std=last_w_std,
-                               trainable_inputs=trainable_inputs)
+            n1, n2 = x1.shape[0], x2_eff.shape[0]
+            hw = x1.shape[1] * x1.shape[2]
+            # The XLA full tier materializes the [n1, n2, hw, hw] spatial
+            # covariance: 4 MB/pair at 32x32 — above ~2 GB of state it is
+            # not a fallback but an OOM, so the fused kernel engages
+            # regardless of the small-N compile-latency threshold (e.g. the
+            # SVSP inducing/cross blocks at CIFAR scale: [100, 200] pairs).
+            full_tier_bytes = 4.0 * n1 * n2 * hw * hw
+            if (min(n1, n2) >= _min_fused_n()
+                    or full_tier_bytes > 2 * 1024 ** 3):
+                from snngp.ops.pallas.myrtle_gram import myrtle_gram
+                return myrtle_gram(x1, x2_eff, depth=depth, act=act,
+                                   w_std=w_std, b_std=b_std,
+                                   last_w_std=last_w_std,
+                                   trainable_inputs=trainable_inputs)
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn

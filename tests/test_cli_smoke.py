@@ -249,6 +249,56 @@ def test_classification_conv_resnet(tmp_path):
     assert "nELBO" in log and "Traceback" not in log
 
 
+def test_classification_myrtle_kernel(tmp_path):
+    """Myrtle-CNN NNGP classifier (beyond the reference's cnn/resnet surface):
+    -nh is the Myrtle depth, inducing inputs stay frozen at their
+    class-proportional init (the fused kernel's gradients are scalar-only)."""
+    from snngp.utils import load_named
+
+    ckpt_root = str(tmp_path / "ckpt")
+    _run_cli([
+        "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", ckpt_root,
+        "-cn", "myr", "-n", "myrtle", "-e", "1", "-nd", "120", "-ni", "10",
+        "-nb", "40", "-ns", "4", "-nvs", "8", "-nh", "5", "-q",
+    ])
+    ckpt_dir = os.path.join(ckpt_root, "myr")
+    log = open(os.path.join(ckpt_dir, "train.log")).read()
+    assert "nELBO" in log and "Traceback" not in log
+    assert "inducing inputs fixed" in log
+
+    # The inducing inputs must be bit-identical to the class-proportional
+    # init (frozen), while the variational params did move.
+    params = load_named(os.path.join(ckpt_dir, "001.npz"))
+    iv = [v for n, v in params.items() if "inducing_variable" in n]
+    assert iv, "no inducing variable in checkpoint"
+    from snngp.data.classification import get_train_dataset
+    (x_train, y_train), _, (num_class, _, _) = get_train_dataset(
+        name="synthetic", root="./data", num_data=120, valid_prop=0.1,
+        normalize=True, seed=10)
+    label_class = np.array([np.sum(y_train == ci) for ci in range(num_class)])
+    num_inducing_class = np.round(
+        10 * label_class / label_class.sum()).astype(int).tolist()
+    init = np.concatenate(
+        [x_train[y_train == ci][:ni]
+         for ci, ni in zip(range(num_class), num_inducing_class)], axis=0)
+    np.testing.assert_array_equal(np.asarray(iv[0]),
+                                  init.astype(np.float32))
+
+    _run_cli(["cls", "ts", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "50", "-nb", "50", "-ns", "16", "-q"])
+    test_logs = glob.glob(os.path.join(ckpt_dir, "test", "*.log"))
+    assert test_logs and "ACC:" in open(test_logs[0]).read()
+
+
+def test_classification_myrtle_depth_validation():
+    with pytest.raises(ValueError, match="Myrtle depth"):
+        _run_cli([
+            "cls", "tr", "-m", "svgp", "-dn", "synthetic", "-cr", "/tmp/x",
+            "-cn", "bad", "-n", "myrtle", "-e", "1", "-nd", "40", "-ni", "10",
+            "-nb", "40", "-ns", "2", "-nvs", "4", "-nh", "3", "-q",
+        ])
+
+
 @pytest.mark.slow
 def test_classification_scan_epoch_matches_loop(tmp_path):
     """--scan-epoch runs identical math (incl. PRNG sequence) to the loop."""
