@@ -259,3 +259,37 @@ def test_myrtle_gram_tiled_resume(tmp_path, monkeypatch):
     # mismatched shape is rejected, not silently overwritten
     with pytest.raises(ValueError):
         mg.myrtle_gram_tiled(x[:8], block=4, resume_path=path)
+
+
+def test_arch_dispatch_memory_threshold(monkeypatch):
+    """arch.get_myrtle_kernel must engage the fused kernel below the small-N
+    threshold whenever the XLA full tier's [n1,n2,hw,hw] state would blow
+    memory (4 MB/pair at 32x32) — e.g. SVSP inducing/cross blocks at CIFAR
+    scale — and still use the full tier for genuinely tiny 16x16 blocks."""
+    from snngp.nn import arch
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    fused_calls = []
+    monkeypatch.setattr(mg, "myrtle_gram",
+                        lambda x1, x2, **kw: fused_calls.append(
+                            (x1.shape[0], x2.shape[0])) or
+                        jnp.zeros((x1.shape[0], x2.shape[0]), jnp.float32))
+
+    kfn = arch.get_myrtle_kernel(5, 1, "relu")
+
+    # [100, 200] @ 32x32: 4*100*200*1024^2 = 78 GiB of full-tier state ->
+    # fused despite min(n1,n2) < the compile-latency threshold (256).
+    rng = np.random.RandomState(0)
+    xa = jnp.asarray(rng.rand(100, 32, 32, 3), jnp.float32)
+    xb = jnp.asarray(rng.rand(200, 32, 32, 3), jnp.float32)
+    out = kfn(xa, xb)
+    assert fused_calls == [(100, 200)] and out.shape == (100, 200)
+
+    # [4, 4] @ 16x16: 4 MiB of state and tiny N -> XLA full tier (the fused
+    # sentinel must NOT fire), and the result is the real kernel value.
+    fused_calls.clear()
+    xs = jnp.asarray(rng.rand(4, 16, 16, 3), jnp.float32)
+    ref = get_myrtle_kernel(5, 1, "relu")(xs, xs)
+    got = kfn(xs, xs)
+    assert fused_calls == []
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
