@@ -289,6 +289,12 @@ def test_classification_myrtle_kernel(tmp_path):
     test_logs = glob.glob(os.path.join(ckpt_dir, "test", "*.log"))
     assert test_logs and "ACC:" in open(test_logs[0]).read()
 
+    _run_cli(["cls", "pr", "-dn", "synthetic", "-cd", ckpt_dir,
+              "-nd", "50", "-nb", "50", "-ns", "16", "-q"])
+    preds = np.load(os.path.join(ckpt_dir, "predictions.npz"))
+    assert preds["proba"].shape[0] == 50
+    np.testing.assert_allclose(preds["proba"].sum(axis=1), 1.0, rtol=1e-4)
+
 
 def test_classification_myrtle_depth_validation():
     with pytest.raises(ValueError, match="Myrtle depth"):
