@@ -187,7 +187,9 @@ class SNNGPClassifier(_EstimatorBase):
 
     Parameters mirror ``cls tr`` flags (reference
     ``classification/train.py``): ``method`` svgp|svtp, conv ``network``
-    cnn|resnet (images) or the mlp kernel for flat features via
+    cnn|resnet|myrtle (images; myrtle freezes the inducing inputs and takes
+    scalar-only kernel gradients, see ``cls tr -n myrtle``) or the mlp
+    kernel for flat features via
     ``network="mlp"``, inducing-point count, ELBO MC sample count, and the
     minibatch SGD schedule. ``fit`` uses the reference's class-proportional
     inducing initialization, trains the ELBO with Adam/SGD, and hoists the
@@ -231,6 +233,18 @@ class SNNGPClassifier(_EstimatorBase):
                 return get_mlp_kernel(self.num_hiddens, num_class,
                                       self.activation, w_std=w, b_std=b,
                                       last_w_std=l)
+        elif self.network == "myrtle":
+            # Same convention as `cls tr -n myrtle`: scalar-only kernel
+            # gradients through the fused Gram kernel (inducing inputs are
+            # frozen at their class-proportional init by the optimizer mask
+            # in fit; their fused-path cotangents are exactly zero).
+            from snngp.cli.classification import _base_kernel
+            _, base = _base_kernel(self.network)
+
+            def get_kernel_fn(w, b, l):
+                return base(self.num_hiddens, num_class, self.activation,
+                            w_std=w, b_std=b, last_w_std=l,
+                            trainable_inputs=False)
         else:
             from snngp.cli.classification import _base_kernel
             _, base = _base_kernel(self.network)
@@ -265,7 +279,13 @@ class SNNGPClassifier(_EstimatorBase):
             num_class, jnp.asarray(z), self.eps,
             get_kernel_fn=self._make_kernel_builder(num_class))
         params = model.init_params()
-        opt = Adam() if self.optimizer == "adam" else SGD()
+        opt_cls = Adam if self.optimizer == "adam" else SGD
+        if self.network == "myrtle":
+            from snngp.utils.optim import name_mask
+            opt = opt_cls(mask=name_mask(
+                params, lambda n: "inducing_variable" not in n))
+        else:
+            opt = opt_cls()
         opt_state = opt.init(params)
         num_train = X.shape[0]
 

@@ -77,3 +77,24 @@ def test_classifier_fit_predict_mlp():
     pred = est.predict(x)
     assert set(pred).issubset({7, 8})
     assert est.score(x, y) > 0.6  # separable-ish toy task
+
+
+def test_classifier_fit_predict_myrtle():
+    """network='myrtle' (images): inducing inputs must stay frozen at their
+    class-proportional init while the ELBO still trains."""
+    rng = np.random.RandomState(1)
+    n = 48
+    x = rng.rand(n, 8, 8, 1).astype(np.float32)
+    y = (x.mean(axis=(1, 2, 3)) > 0.5).astype(int)
+    est = SNNGPClassifier(method="svgp", network="myrtle", num_hiddens=5,
+                          num_inducing=8, num_samples=8, batch_size=24,
+                          epochs=1, eps=1e-2)
+    est.fit(x, y)
+    proba = est.predict_proba(x, num_samples=50)
+    assert proba.shape == (n, 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-3)
+    # Frozen inducing inputs: present in params_, zero optimizer movement.
+    iv = [v for name, v in est.params_.items() if "inducing_variable" in name]
+    assert iv and np.all(np.isfinite(np.asarray(iv[0])))
+    z0 = np.asarray(est.model_.init_params()["inducing_variable"])
+    np.testing.assert_array_equal(np.asarray(iv[0]), z0)
