@@ -422,8 +422,9 @@ def _add_predict_parser(subparsers):
                              "set before predicting (normalized with the "
                              "train-split stats): grows the cached factor in "
                              "O(N^2 m) via chol_append instead of an "
-                             "O((N+m)^3) refit; applies in-process, the "
-                             "on-disk fitted-state cache is left unchanged")
+                             "O((N+m)^3) refit; the extension itself is "
+                             "in-process, but a non-extendable -fs cache is "
+                             "refit once and rewritten as extendable")
     parser.add_argument("-ay", "--add-y", type=str, default=None,
                         help=".npy of raw-scale targets for --add-x")
     parser.add_argument("-q",  "--quite",      default=False, action="store_true")
@@ -465,6 +466,12 @@ def predict_main(args):
                 logger.log("cached fitted state is not extendable; "
                            "refitting with extendable=True")
                 fitted = fit_spr(model, params, extendable=True)
+                if args.fitted_state:
+                    # Refresh the cache so subsequent --add-x calls load the
+                    # extendable state instead of repeating the O(N^3) refit.
+                    fitted.save(args.fitted_state)
+                    logger.log(f"refreshed {args.fitted_state} with the "
+                               "extendable fit")
             x_mean, x_std = _train_x_stats(context["data_name"],
                                            args.data_root)
             x_add = jnp.asarray(

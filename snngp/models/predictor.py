@@ -254,7 +254,15 @@ class FittedSPR:
                                  lower=self._chol_lower)
             df = s["cond_df"] - model.num_data
             state["chol_t"] = chol_t
-            state["d"] = df + chol_quad_form(chol_t, y_all)
+            # Quad form against the factor's actual orientation: lower L
+            # (A = L L^T) -> ||L^{-1} y||^2; upper U (A = U^T U) ->
+            # ||U^{-T} y||^2 (chol_quad_form assumes lower).
+            if self._chol_lower:
+                quad_t = chol_quad_form(chol_t, y_all)
+            else:
+                at = solve_triangular(chol_t, y_all, lower=False, trans=1)
+                quad_t = jnp.sum(at * at)
+            state["d"] = df + quad_t
             state["cond_df"] = df + new_model.num_data
             state["scale_ba"] = ba
         return FittedSPR(new_model, self.params, state)

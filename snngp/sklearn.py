@@ -238,6 +238,10 @@ class SNNGPClassifier(_EstimatorBase):
             # gradients through the fused Gram kernel (inducing inputs are
             # frozen at their class-proportional init by the optimizer mask
             # in fit; their fused-path cotangents are exactly zero).
+            if self.num_hiddens not in (5, 7, 10):
+                raise ValueError(
+                    "network='myrtle' uses num_hiddens as the Myrtle depth: "
+                    f"one of 5, 7, 10 (got {self.num_hiddens})")
             from snngp.cli.classification import _base_kernel
             _, base = _base_kernel(self.network)
 
@@ -261,13 +265,15 @@ class SNNGPClassifier(_EstimatorBase):
         num_class = len(self.classes_)
         y_idx = np.searchsorted(self.classes_, y).astype(np.int32)
 
-        # Class-proportional inducing init (classification/train.py:186-190).
-        rng = np.random.RandomState(self.seed)
+        # Class-proportional inducing init (classification/train.py:186-190):
+        # the FIRST per_class[c] points of each class, deterministically —
+        # the reference's (and `cls tr`'s) exact convention, so facade and
+        # CLI produce identical inits for the same data/seed.
         counts = np.bincount(y_idx, minlength=num_class)
         per_class = np.round(self.num_inducing * counts / counts.sum()
                              ).astype(int)
         z = np.concatenate([
-            X[y_idx == c][rng.permutation(counts[c])[:max(per_class[c], 1)]]
+            X[y_idx == c][:max(per_class[c], 1)]
             for c in range(num_class)], axis=0)
 
         # Shared with the CLI so the svgp/svtp conventions (incl. the svtp
