@@ -39,7 +39,8 @@ __all__ = ["fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP"]
 
 
 def fit_spr(model, params, memory_lean: bool = False,
-            extendable: bool = False) -> "FittedSPR":
+            extendable: bool = False, gram=None, var_floor: float = 0.0,
+            t_jitter: float = 1e-6) -> "FittedSPR":
     """One-time train-side solve for an :class:`snngp.models.gp.SPR`.
 
     Computes the train Gram (row-sharded over the model's mesh when one is
@@ -67,7 +68,32 @@ def fit_spr(model, params, memory_lean: bool = False,
     FROZEN — later extensions reuse it rather than re-deriving it from the
     drifting mean diagonal) and, for a Student-t likelihood, the scaled-Gram
     factor (an extra [N, N] — the price of extending the data-dependent
-    ``d``). Not supported together with ``memory_lean``.
+    ``d``). Not supported together with ``memory_lean``. Size ceiling: an
+    extendable Student-t fit keeps TWO resident [N, N] factors (main +
+    scaled-Gram) plus the Gram during fitting — ~3 n^2 fp32, i.e. ~12k x 12k
+    per 16 GB chip. Past that, refit with ``memory_lean=True`` (extension at
+    memory-lean scale means a fresh fit over the grown set).
+
+    ``gram`` optionally supplies a precomputed train Gram (host numpy — e.g.
+    a crash-resumable :func:`snngp.ops.pallas.myrtle_gram.myrtle_gram_tiled`
+    memmap — or a device array); the kernel is then never evaluated for the
+    train block. It must equal ``K(x_data, x_data)`` for the SAME params, at
+    fp32: the fitted state stores solved quantities, not the inputs, so a
+    mismatched Gram yields silently wrong predictions.
+
+    ``var_floor`` (relative to the PRIOR test variance) clips the posterior
+    variance diagonal at predict time: ``var = max(var, var_floor *
+    diag(k_tt))``. Default 0.0 keeps the reference's exact arithmetic. At
+    north-star N the fp32 posterior variance (~1e-7 of a ~0.027-scale prior)
+    sits below the cancellation noise of the [N]-long contraction and can go
+    (slightly) negative — RESULTS.md round 3 measured an indefinite full
+    covariance at N=32768 — so large-N pipelines pass ~1e-6.
+
+    ``t_jitter`` is the absolute jitter on the scaled Gram ``(b/a) K`` whose
+    factor defines the Student-t data scale ``d`` (the reference hardcodes
+    1e-6, ``spax/likelihoods.py:60-62``). At reference scale leave it; at
+    north-star N the Gram's own fp32 representation noise exceeds 1e-6 and
+    the factorization needs a proportionally larger value to stay PSD.
     """
     if extendable and memory_lean:
         raise ValueError("extendable fits keep extra factors resident; "
@@ -92,16 +118,19 @@ def fit_spr(model, params, memory_lean: bool = False,
             "y_std": jnp.asarray(model.y_std, jnp.float32),
             "chol_lower": jnp.asarray(0, jnp.int32),
         }
+        if var_floor:
+            state["var_floor"] = jnp.asarray(var_floor, jnp.float32)
         if require:  # Student-t path: two factorizations of the same Gram —
             # stage it to host once, re-upload between them, so only ONE
             # full-size device buffer ever exists.
-            k_host = np.asarray(model._gram(kernel_fn))
+            k_host = (np.asarray(gram) if gram is not None
+                      else np.asarray(model._gram(kernel_fn)))
             a, b = model.likelihood._ab(lik_params)
             df = 2.0 * a
             scale = float(b / a)
             u_t = jax.jit(
                 lambda k: inplace_blocked_cholesky(
-                    add_jitter(scale * k, 1e-6)),
+                    add_jitter(scale * k, t_jitter)),
                 donate_argnums=0)(jnp.asarray(k_host))
             at = blocked_triangular_solve(u_t, model.y_data, trans=True)
             state["d"] = df + jnp.sum(at * at)
@@ -113,7 +142,8 @@ def fit_spr(model, params, memory_lean: bool = False,
         else:
             # One factorization: donate the device Gram directly — no
             # host round-trip needed (same ~n^2 peak).
-            k_dev = model._gram(kernel_fn)
+            k_dev = (jnp.asarray(gram) if gram is not None
+                     else model._gram(kernel_fn))
         u = jax.jit(
             lambda k: inplace_blocked_cholesky(add_diag_reg(k, eps)),
             donate_argnums=0)(k_dev)
@@ -125,7 +155,7 @@ def fit_spr(model, params, memory_lean: bool = False,
 
     chol_fn = model.chol_fn or jnp.linalg.cholesky
 
-    k_dd = model._gram(kernel_fn)
+    k_dd = jnp.asarray(gram) if gram is not None else model._gram(kernel_fn)
     chol = chol_fn(add_diag_reg(k_dd, eps))                     # [N, N]
     alpha = chol_solve(chol, model.y_data[:, None])             # [N, 1]
 
@@ -135,13 +165,15 @@ def fit_spr(model, params, memory_lean: bool = False,
         "y_mean": jnp.asarray(model.y_mean, jnp.float32),
         "y_std": jnp.asarray(model.y_std, jnp.float32),
     }
+    if var_floor:
+        state["var_floor"] = jnp.asarray(var_floor, jnp.float32)
     if extendable:  # freeze the absolute regularizer add_diag_reg applied
         state["reg"] = eps * jnp.trace(k_dd) / model.num_data
 
     if require:  # Student-t conditional predictive
         a, b = model.likelihood._ab(lik_params)
         df = 2.0 * a
-        chol_t = chol_fn(add_jitter((b / a) * k_dd, 1e-6))
+        chol_t = chol_fn(add_jitter((b / a) * k_dd, t_jitter))
         state["d"] = df + chol_quad_form(chol_t, model.y_data)
         state["cond_df"] = df + model.num_data
         state["scale_ba"] = b / a
@@ -165,18 +197,58 @@ class FittedSPR:
         # jit-threadable over the array-valued state.
         cl = state.get("chol_lower")
         self._chol_lower = True if cl is None else bool(np.asarray(cl))
+        self._var_floor = float(np.asarray(state.get("var_floor", 0.0)))
 
     # -- prediction -------------------------------------------------------
 
-    def predict(self, x):
+    def predict(self, x, batch: int = None):
         """De-normalized predictive mean and variance at ``x`` ([n], [n]).
 
         mean = K*^T (K + r I)^{-1} y via the cached solve; the variance is
         the posterior diagonal (both likelihoods' predictive densities use
         only ``diag(cov)``, ``spax/likelihoods.py:30-33,52-65``), inflated by
         the cached Student-t factor when applicable.
+
+        ``batch`` chunks the test points: the posterior needs only the
+        variance DIAGONAL, but the cancellation-safe ordering materializes a
+        [c, c] test Gram per chunk — unchunked, serving n points costs
+        O(n^2) kernel work for n numbers. Each diagonal element is computed
+        by the same arithmetic either way (its column's solve and its own
+        Gram entry), so chunked == unchunked to fp32 resolution; ~4096 keeps
+        the chunk Gram at 64 MB. Don't pass ``batch`` inside jit (it's a
+        Python loop).
         """
-        mean_n, var_n = self._posterior(x)
+        mean_n, var_n = self._posterior(x, batch=batch)
+        return self._denorm(mean_n, var_n)
+
+    def test_nll(self, x, y, batch: int = None):
+        """Predictive NLL on de-normalized targets; equals SPR.test_nll.
+        ``batch`` as in :meth:`predict`."""
+        mean_n, var_n = self._posterior(x, batch=batch)
+        return self._score_nll(mean_n, var_n, y)
+
+    def predict_given(self, k_td, k_tt_diag):
+        """:meth:`predict` from precomputed Gram pieces: ``k_td`` [n, N] is
+        K(x_test, x_train), ``k_tt_diag`` [n] the prior test variance —
+        for pipelines that assemble Grams outside the kernel-fn path (the
+        north-star fused tiled assembly, ``examples/cifar_myrtle.py``).
+
+        Variance ordering caveat: with only the diagonal supplied this uses
+        the streaming form ``k_tt_diag - sum(v*v)`` rather than
+        ``diag(k_tt - v^T v)``; the two differ by fp32 cancellation noise
+        (~1e-3 relative when the posterior variance is tiny) — pair with a
+        ``var_floor`` at scale.
+        """
+        mean_n, var_n = self._posterior_given(k_td, k_tt_diag)
+        return self._denorm(mean_n, var_n)
+
+    def test_nll_given(self, k_td, k_tt_diag, y):
+        """:meth:`test_nll` from precomputed Gram pieces (see
+        :meth:`predict_given`); ``y`` is normalized like ``test_nll``'s."""
+        mean_n, var_n = self._posterior_given(k_td, k_tt_diag)
+        return self._score_nll(mean_n, var_n, y)
+
+    def _denorm(self, mean_n, var_n):
         s = self.state
         mean = mean_n * s["y_std"] + s["y_mean"]
         var = var_n * s["y_std"] ** 2
@@ -184,9 +256,7 @@ class FittedSPR:
             var = (s["d"] / s["cond_df"]) * s["scale_ba"] * var
         return mean, var
 
-    def test_nll(self, x, y):
-        """Predictive NLL on de-normalized targets; equals SPR.test_nll."""
-        mean_n, var_n = self._posterior(x)
+    def _score_nll(self, mean_n, var_n, y):
         s = self.state
         y_den = y * s["y_std"] + s["y_mean"]
         mean = mean_n * s["y_std"] + s["y_mean"]
@@ -267,7 +337,7 @@ class FittedSPR:
             state["scale_ba"] = ba
         return FittedSPR(new_model, self.params, state)
 
-    def _posterior(self, x):
+    def _posterior(self, x, batch: int = None):
         """Normalized posterior mean + variance diagonal ([n], [n]).
 
         The variance is diag(k_tt - v^T v) — the full-covariance form
@@ -276,20 +346,42 @@ class FittedSPR:
         in fp32 and the two orderings diverge at ~1e-3 relative, breaking
         parity with ``SPR.test_nll``.
         """
+        if batch is not None and x.shape[0] > batch:
+            parts = [self._posterior(x[i:i + batch])
+                     for i in range(0, x.shape[0], batch)]
+            return (jnp.concatenate([p[0] for p in parts]),
+                    jnp.concatenate([p[1] for p in parts]))
         model, s = self.model, self.state
         k_td = model.kernel.K(self._kernel_fn, x, model.x_data)  # [n, N]
         mean = (k_td @ s["alpha"]).flatten()
-        if self._chol_lower:
-            v = solve_triangular(s["chol"], k_td.T, lower=True)  # [N, n]
-        else:
-            # memory-lean fit stores the UPPER factor U = L^T; L^{-1} x is
-            # the transposed upper solve, via the panel solve so serving a
-            # north-star-size fit never materializes a factor copy.
-            from snngp.parallel.cholesky import blocked_triangular_solve
-            v = blocked_triangular_solve(s["chol"], k_td.T, trans=True)
+        v = self._whiten(k_td)                                   # [N, n]
         k_tt = model.kernel.K(self._kernel_fn, x)                # [n, n]
         var = jnp.diag(k_tt - v.T @ v)
+        if self._var_floor:
+            var = jnp.maximum(var, self._var_floor * jnp.diag(k_tt))
         return mean, var
+
+    def _posterior_given(self, k_td, k_tt_diag):
+        """As :meth:`_posterior` from precomputed (k_td, diag(k_tt)); uses
+        the streaming variance ordering (see :meth:`predict_given`)."""
+        s = self.state
+        mean = (k_td @ s["alpha"]).flatten()
+        v = self._whiten(k_td)                                   # [N, n]
+        var = k_tt_diag - jnp.sum(v * v, axis=0)
+        if self._var_floor:
+            var = jnp.maximum(var, self._var_floor * k_tt_diag)
+        return mean, var
+
+    def _whiten(self, k_td):
+        """L^{-1} K* for the cached factor's orientation ([N, n])."""
+        s = self.state
+        if self._chol_lower:
+            return solve_triangular(s["chol"], k_td.T, lower=True)
+        # memory-lean fit stores the UPPER factor U = L^T; L^{-1} x is
+        # the transposed upper solve, via the panel solve so serving a
+        # north-star-size fit never materializes a factor copy.
+        from snngp.parallel.cholesky import blocked_triangular_solve
+        return blocked_triangular_solve(s["chol"], k_td.T, trans=True)
 
     # -- persistence ------------------------------------------------------
 

@@ -291,3 +291,115 @@ def test_sklearn_add_data_interpolates():
     # conditioning on the new points pulls predictions onto their targets
     assert (np.abs(after - y[16:]).mean()
             < 0.5 * np.abs(before - y[16:]).mean())
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fit_spr_precomputed_gram_matches(method):
+    """fit_spr(gram=...) with the exact train Gram (host numpy, as the fused
+    tiled assembly returns it) is bit-identical to the kernel-fn fit, in both
+    the default and memory-lean paths."""
+    model = _toy_spr(method)
+    params = model.init_params()
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    k_host = np.asarray(model.kernel.K(kernel_fn, model.x_data))
+    rng = np.random.RandomState(2)
+    x_test = rng.randn(7, 3).astype(np.float32)
+    y_test = rng.randn(7).astype(np.float32)
+
+    for lean in (False, True):
+        ref = fit_spr(model, params, memory_lean=lean)
+        got = fit_spr(model, params, memory_lean=lean, gram=k_host)
+        np.testing.assert_array_equal(np.asarray(got.state["chol"]),
+                                      np.asarray(ref.state["chol"]))
+        np.testing.assert_allclose(float(got.test_nll(x_test, y_test)),
+                                   float(ref.test_nll(x_test, y_test)),
+                                   rtol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+@pytest.mark.parametrize("lean", [False, True])
+def test_fitted_posterior_batched_matches(method, lean):
+    """Chunked serving (batch=) equals the one-shot posterior to fp32
+    resolution: each diagonal element's arithmetic is chunk-invariant."""
+    model = _toy_spr(method, n=32)
+    params = model.init_params()
+    rng = np.random.RandomState(9)
+    x_test = rng.randn(21, 3).astype(np.float32)  # ragged vs batch=8
+    y_test = rng.randn(21).astype(np.float32)
+
+    fitted = fit_spr(model, params, memory_lean=lean)
+    m_full, v_full = fitted.predict(x_test)
+    m_bat, v_bat = fitted.predict(x_test, batch=8)
+    np.testing.assert_allclose(np.asarray(m_bat), np.asarray(m_full),
+                               rtol=1e-6, atol=1e-7)
+    # rtol 2e-4: XLA blocks the [c, c] and [n, n] matmul reductions
+    # differently, so the cancellation k_tt - v^T v reassociates.
+    np.testing.assert_allclose(np.asarray(v_bat), np.asarray(v_full),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(fitted.test_nll(x_test, y_test, batch=8)),
+                               float(fitted.test_nll(x_test, y_test)),
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["gp", "tp"])
+def test_fitted_given_gram_matches(method):
+    """predict_given/test_nll_given from precomputed (k_td, diag k_tt) match
+    the kernel-fn path (streaming variance ordering: fp32 reassociation
+    only at this conditioning scale)."""
+    model = _toy_spr(method, n=40)
+    params = model.init_params()
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    rng = np.random.RandomState(4)
+    x_test = rng.randn(11, 3).astype(np.float32)
+    y_test = rng.randn(11).astype(np.float32)
+
+    fitted = fit_spr(model, params, memory_lean=True)
+    k_td = model.kernel.K(kernel_fn, x_test, model.x_data)
+    k_tt_diag = jnp.diag(model.kernel.K(kernel_fn, x_test))
+
+    m_ref, v_ref = fitted.predict(x_test)
+    m_got, v_got = fitted.predict_given(k_td, k_tt_diag)
+    np.testing.assert_allclose(np.asarray(m_got), np.asarray(m_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        float(fitted.test_nll_given(k_td, k_tt_diag, y_test)),
+        float(fitted.test_nll(x_test, y_test)), rtol=1e-4)
+
+
+def test_fitted_var_floor():
+    """var_floor clips the normalized posterior variance at var_floor *
+    diag(k_tt) (prior scale), survives save/load, and floor=0 is exact."""
+    model = _toy_spr("tp", n=24)
+    params = model.init_params()
+    kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
+    x_test = np.random.RandomState(8).randn(6, 3).astype(np.float32)
+
+    plain = fit_spr(model, params)
+    floored = fit_spr(model, params, var_floor=0.9)  # huge floor: must bind
+    k_tt_diag = np.diag(np.asarray(model.kernel.K(kernel_fn, x_test)))
+
+    _, v_plain = plain._posterior(x_test)
+    _, v_floor = floored._posterior(x_test)
+    assert np.all(np.asarray(v_floor) >= 0.9 * k_tt_diag - 1e-7)
+    assert np.any(np.asarray(v_plain) < 0.9 * k_tt_diag)  # floor did bind
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f.npz")
+        floored.save(p)
+        loaded = FittedSPR.load(p, model)
+        assert loaded._var_floor == pytest.approx(0.9)
+
+
+def test_fit_spr_t_jitter():
+    """t_jitter rescales the Student-t scaled-Gram regularizer; the default
+    reproduces the reference's hardcoded 1e-6 (spax/likelihoods.py:60-62)."""
+    model = _toy_spr("tp", n=16)
+    params = model.init_params()
+    d_ref = float(fit_spr(model, params).state["d"])
+    d_default = float(fit_spr(model, params, t_jitter=1e-6).state["d"])
+    d_big = float(fit_spr(model, params, t_jitter=1e-1).state["d"])
+    assert d_default == pytest.approx(d_ref, rel=1e-7)
+    assert d_big != pytest.approx(d_ref, rel=1e-4)  # regularizer is live
