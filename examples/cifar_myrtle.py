@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from snngp.nn.full import get_myrtle_kernel
-from snngp.ops.linalg import add_jitter, chol_quad_form
 from snngp.utils.profiling import Profiler
 
 
@@ -208,6 +207,20 @@ def main():
                          " first-run cost at some large shapes — 185 s at"
                          " N=8192, 569 s at N=24576 on v5e — while the"
                          " blocked kernel's is 2-6 s)")
+    ap.add_argument("--t-jitter", type=float, default=1e-6,
+                    help="absolute jitter on the scaled Gram (b/a) K whose "
+                         "factor defines the Student-t data scale d — the "
+                         "reference's hardcoded 1e-6 "
+                         "(spax/likelihoods.py:60-62). At north-star N the "
+                         "Gram's fp32 representation noise exceeds 1e-6; "
+                         "pass ~1e-4 there to keep the factorization PSD")
+    ap.add_argument("--var-floor", type=float, default=1e-6,
+                    help="posterior-variance floor relative to the prior "
+                         "test variance (0 = reference's exact arithmetic; "
+                         "at north-star N the fp32 posterior variance sits "
+                         "below the cancellation noise of the [N]-long "
+                         "contraction and needs the floor — see "
+                         "tests/test_predictor.py::test_var_floor_f64)")
     args = ap.parse_args()
 
     x, y = load_images(args.n_train + args.n_test, args.image_size, seed=0)
@@ -291,106 +304,84 @@ def main():
     with prof.phase("gram_test"):
         k_tt = prof.observe(gram(x_test, x_test, True, "test"))
 
-    # Factorization routing: the memory-lean in-place kernel is MANDATORY
-    # above ~40k on a 16 GB chip (any out-of-place factorization needs
-    # input + output ~= 2 n^2 and OOMs; RESULTS.md round 3 measured the
-    # 50k x 50k Gram factoring in 5.3 s this way), picked from 32768 up for
-    # margin. It donates the Gram and returns the UPPER factor U = L^T.
+    # Everything downstream of Gram assembly — factorization routing, the
+    # Student-t two-factorization data scale d (the reference's absolute
+    # t-jitter, spax/likelihoods.py:60-62), the target solve, the variance
+    # floor, de-normalized conditional-t scoring — defers to the tested
+    # library serving path (snngp/models/predictor.py). The memory-lean
+    # branch stages the host Gram and uploads it twice (scaled-Gram factor
+    # for d, then the main factor) so only ONE full-size device buffer ever
+    # exists; `auto` picks it exactly where the in-place factorization is
+    # mandatory on a 16 GB chip.
+    from snngp.models.gp import SPR
+    from snngp.models.kernels import NNGPKernel
+    from snngp.models.likelihoods import StudentTLikelihood
+    from snngp.models.predictor import fit_spr
+    from snngp.nn.arch import get_myrtle_kernel as myrtle_builder
+
     if args.chol == "inplace" and mesh is not None:
         raise SystemExit("--chol inplace is a single-device kernel (donated "
                          "fori-loop carry); with --devices use --chol "
                          "blocked, which shards under GSPMD.")
-    use_inplace = (args.chol == "inplace"
+    memory_lean = (args.chol == "inplace"
                    or (args.chol == "auto" and args.n_train >= 32768
                        and mesh is None))
-    use_blocked = not use_inplace and (
-        args.chol == "blocked"
-        or (args.chol == "auto" and args.n_train >= 4096))
-    chol_lower = not use_inplace
-    if use_inplace:
-        from functools import partial as _partial
-
-        from snngp.parallel.cholesky import inplace_blocked_cholesky
-
-        @_partial(jax.jit, donate_argnums=0)
-        def chol_kernel(k):
-            # Jitter inside the donating jit: the add aliases the donated
-            # Gram, so peak HBM stays ~n^2 (a separate jittered copy would
-            # put 2 n^2 back on the table).
-            return inplace_blocked_cholesky(add_jitter(k, args.eps))
-    elif use_blocked:
+    chol_fn = None
+    if not memory_lean and (args.chol == "blocked" or
+                            (args.chol == "auto" and args.n_train >= 4096)):
         from snngp.parallel.cholesky import blocked_cholesky
-        chol_kernel = lambda k: blocked_cholesky(add_jitter(k, args.eps))
-    else:
-        chol_kernel = jax.jit(
-            lambda k: jnp.linalg.cholesky(add_jitter(k, args.eps)))
-    if not isinstance(k_dd, jax.Array):
-        # Host-assembled (fused tiled) Gram: move to HBM only now, after the
-        # cross/test blocks are done with the chip, so peak device memory is
-        # max(kernel workspace, n^2 + factor workspace) instead of their sum.
-        with prof.phase("h2d_train_gram"):
-            k_dd = prof.observe(jnp.asarray(k_dd))
-    with prof.phase("cholesky"):
-        chol = prof.observe(chol_kernel(k_dd))
-    if use_inplace:
-        del k_dd                                 # donated: buffer is gone
+        chol_fn = blocked_cholesky
 
-    # One jitted computation for the whole predictive: eager per-op dispatch
-    # costs ~1 s of tunnel latency *per op* plus a compile each, which
-    # dominated this phase at N=8192 (50.7 s in round 2).
-    @jax.jit
-    def predictive(chol, k_td, k_tt, y_train, y_test):
-        from jax.scipy.linalg import cho_solve, solve_triangular
-        if chol_lower:
-            mean = k_td @ cho_solve((chol, True), y_train)
-            v = solve_triangular(chol, k_td.T, lower=True)
-            quad = chol_quad_form(chol, y_train)
-        else:
-            # Upper factor U = L^T from the in-place kernel. XLA's
-            # monolithic triangular_solve materializes a masked full-size
-            # copy of the factor plus ~5 GB of staggered scan temps (12 GB
-            # of HLO temp at N=32768 — OOMs a 16 GB chip with the 4 GiB
-            # factor resident), so this path uses the memory-lean panel
-            # solve: O(n * block) temps against the never-copied factor.
-            from snngp.parallel.cholesky import blocked_triangular_solve
-            beta = blocked_triangular_solve(chol, y_train, trans=True)
-            mean = k_td @ blocked_triangular_solve(chol, beta, trans=False)
-            v = blocked_triangular_solve(chol, k_td.T, trans=True)
-            quad = jnp.sum(beta * beta)
-        # Student-t process predictive, per-point conditional-t — the
-        # reference's test form (spax/likelihoods.py:52-65 takes
-        # sqrt(diag(...)) and scores with the univariate t). The DIAGONAL
-        # is also all fp32 can resolve at north-star N: the posterior
-        # variance ~1e-7 comes from cancelling 0.027-scale terms over a
-        # 32768-long contraction, so the off-diagonal structure of
-        # k_tt - v^T v is numerical noise and a full-cov MVT factorization
-        # goes indefinite (measured: all-nan Cholesky at N=32768).
-        var = jnp.diagonal(k_tt) - jnp.sum(v * v, axis=0)
-        # fp32 floor: below ~1e-6 of the prior variance the cancellation
-        # noise dominates any true signal.
-        var = jnp.maximum(var, 1e-6 * jnp.diagonal(k_tt))
-        df = 2 * args.alpha
-        # Reference quad is y^T (b/a K + jitter)^{-1} y; the factor here is
-        # of K + eps, so rescale by a/b.
-        d = df + (args.alpha / args.beta) * quad
-        cond_df = df + args.n_train
-        t_var = (d / cond_df) * (args.beta / args.alpha) * var
-        if bf16_effective:
-            t_var = t_var + 1e-2
-        from jax.scipy.stats import t as t_dist
-        return -jnp.mean(t_dist.logpdf(y_test, cond_df, mean,
-                                       jnp.sqrt(t_var)))
+    # --eps is ABSOLUTE (round 3 measured the north-star factorization PSD
+    # at K + 1e-4 I); fit_spr applies neural_tangents' trace-relative
+    # add_diag_reg, so convert: the applied regularizer is
+    # eps_rel * tr(K)/N == args.eps exactly.
+    tr_mean = float(np.trace(k_dd)) / args.n_train
+    eps_rel = args.eps / tr_mean
 
+    def kernel_builder(w_std, b_std, last_w_std):
+        return myrtle_builder(args.depth, 1, "relu", w_std=w_std,
+                              b_std=b_std, last_w_std=last_w_std,
+                              trainable_inputs=False)
+
+    kernel = NNGPKernel(kernel_builder, hyper["w_std"], hyper["b_std"],
+                        hyper["last_w_std"])
+    lik = StudentTLikelihood(args.alpha, args.beta, chol_fn=chol_fn)
+    model = SPR(kernel, lik, x_train, y_train, y_mean, y_std, eps=eps_rel,
+                mesh=mesh)
+    params = model.init_params()
+
+    with prof.phase("fit"):
+        fitted = fit_spr(model, params, memory_lean=memory_lean, gram=k_dd,
+                         var_floor=args.var_floor, t_jitter=args.t_jitter)
+        prof.observe(fitted.state["alpha"])
+    if memory_lean:
+        del k_dd                          # donated into the fitted factor
+
+    y_test_n = (y[args.n_train:] - y_mean) / y_std
     with prof.phase("predictive"):
-        nll = prof.observe(predictive(
-            chol, k_td, k_tt, y_train,
-            (y[args.n_train:] - y_mean) / y_std))
+        k_td_dev = jnp.asarray(k_td)
+        k_tt_diag = jnp.diagonal(jnp.asarray(k_tt))
+        if bf16_effective:
+            # bf16 numerics-validation quirk: ~1e-2 relative Gram noise
+            # needs an additive variance inflation the exact library
+            # scoring doesn't model — score library outputs directly.
+            from jax.scipy.stats import t as t_dist
+            mean_d, var_d = fitted.predict_given(k_td_dev, k_tt_diag)
+            var_d = var_d + 1e-2 * float(y_std) ** 2
+            y_den = y_test_n * y_std + y_mean
+            nll = prof.observe(-jnp.mean(t_dist.logpdf(
+                y_den, fitted.state["cond_df"], mean_d, jnp.sqrt(var_d))))
+        else:
+            nll = prof.observe(fitted.test_nll_given(
+                k_td_dev, k_tt_diag, y_test_n))
 
     print(prof.report())
     total = sum(prof.totals.values())
     print(f"\nN={args.n_train} Myrtle-{args.depth} ({args.image_size}x"
           f"{args.image_size}) pipeline total: {total:.2f}s  "
-          f"t-predictive NLL: {float(nll):.4f}")
+          f"t-predictive NLL (de-normalized, reference semantics): "
+          f"{float(nll):.4f}")
 
 
 if __name__ == "__main__":

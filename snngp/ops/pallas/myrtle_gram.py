@@ -72,7 +72,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from snngp.ops.pallas.gram import _ACT_T, _ACT_T_PARTIALS
 
-__all__ = ["myrtle_gram", "myrtle_gram_sharded", "myrtle_var_profiles",
+__all__ = ["myrtle_gram", "myrtle_gram_scale_grads", "myrtle_gram_sharded",
+           "myrtle_var_profiles",
            "MYRTLE_GROUPS"]
 
 INTERPRET = False
@@ -790,6 +791,36 @@ def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,
                            b_std=b_std, last_w_std=last_w_std, dtype=dtype)
 
     return sharded_gram(kfn, x1, mesh, x2=x2, check_vma=False)
+
+
+@functools.lru_cache(maxsize=8)
+def _aug_jit(depth: int, act: str):
+    """One cached jit of the augmented fused pass per (depth, act); scales
+    ride as traced arguments (same retrace economics as ``_tiled_jit``)."""
+    return jax.jit(lambda a, b, w, bs, l: _myrtle_call(
+        depth, act, "float32", a, b, w, bs, l, grads=True))
+
+
+def myrtle_gram_scale_grads(x1: jax.Array, x2: Optional[jax.Array] = None, *,
+                            depth: int = 5, act: str = "relu",
+                            w_std=1.0, b_std=0.0, last_w_std=1.0):
+    """(K, dK/dw_std, dK/db_std) from ONE augmented fused-kernel pass.
+
+    The direct-product surface for tiled full-Gram ML-II
+    (:mod:`snngp.models.mlii`): the block loop needs the per-tile scale
+    tangents themselves, not a VJP — ``dK/dlast_w_std = (2/last) K`` is
+    closed-form and intentionally not returned (compute it from K). ~3x the
+    forward's VPU work (the two tangent states ride along in VMEM). fp32
+    only, like the scalar-tangent backward it shares a kernel with.
+    """
+    if act not in _ACT_T:
+        raise KeyError(f"unsupported act '{act}'")
+    if x2 is None:
+        x2 = x1
+    return _aug_jit(depth, act)(x1, x2,
+                                jnp.asarray(w_std, jnp.float32),
+                                jnp.asarray(b_std, jnp.float32),
+                                jnp.asarray(last_w_std, jnp.float32))
 
 
 @functools.lru_cache(maxsize=8)
