@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from snngp.nn import arch
 from snngp.nn.layers import Dense, Relu
-from snngp.ops.linalg import add_jitter
+from snngp.ops.linalg import add_jitter, sym_t
 
 N = 10_000
 D = 16
@@ -84,6 +84,74 @@ def _device_time(build, x, iters=8):
 
     t1, tn = wall(1), wall(iters)
     return max(tn - t1, 0.0) / (iters - 1)
+
+
+def _north_star_kernels():
+    """Device-true kernel metrics at north-star configuration (VERDICT r3
+    weak #1: the N=10k headline saturated three rounds ago; the real
+    round-over-round progress lives in these two numbers).
+
+    * ``myrtle32_us_per_pair``: fused Pallas Myrtle-5 Gram at CIFAR
+      resolution (32x32), one [512, 512] dispatch block — the unit of work
+      the 50k x 50k north-star assembly repeats 4,851 times
+      (``spax/kernels.py:23-27`` is the reference compute site).
+    * ``cholesky_n50000_s``: ``inplace_blocked_cholesky`` of a full
+      50,000^2 fp32 Gram on ONE chip (donated buffer — the only
+      factorization that fits 10 GB on a 16 GB device), with a logdet
+      sanity gate against the exact float64 value of the low-rank-plus-
+      identity test matrix (matrix determinant lemma).
+    """
+    import numpy as np
+
+    from snngp.ops.pallas.myrtle_gram import myrtle_gram
+    from snngp.parallel.cholesky import inplace_blocked_cholesky
+
+    out = {}
+    key = jax.random.PRNGKey(11)
+
+    # --- fused Myrtle 32x32, one 512^2 block ---
+    b = 512
+    xa = jax.random.uniform(key, (b, 32, 32, 3), dtype=jnp.float32)
+    xb = jax.random.uniform(jax.random.PRNGKey(12), (b, 32, 32, 3),
+                            dtype=jnp.float32)
+    blk = jax.jit(lambda p, q: myrtle_gram(p, q, depth=5, act="relu",
+                                           w_std=1.0, b_std=0.1,
+                                           last_w_std=1.0))
+    np.asarray(blk(xa, xb))                                    # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(blk(xa, xb))
+        best = min(best, time.perf_counter() - t0)
+    out["myrtle32_us_per_pair"] = round(best / (b * b) * 1e6, 3)
+
+    # --- N=50,000 in-place Cholesky (the north-star factorization) ---
+    n, d = 50_000, 64
+    x = jax.random.normal(key, (n, d), dtype=jnp.float32) / np.sqrt(d)
+    xh = np.asarray(x, np.float64)
+    _, logdet_exact = np.linalg.slogdet(np.eye(d) + xh.T @ xh)
+
+    build = jax.jit(lambda x: x @ x.T)
+    factor = jax.jit(
+        lambda k: inplace_blocked_cholesky(
+            k + jnp.eye(n, dtype=jnp.float32)), donate_argnums=0)
+    best, logdet = float("inf"), None
+    for _ in range(2):
+        k = build(x)
+        k.block_until_ready()
+        t0 = time.perf_counter()
+        u = factor(k)
+        diag = np.asarray(jnp.diagonal(u))   # [n] fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+        del u, k
+        logdet = 2.0 * float(np.sum(np.log(diag.astype(np.float64))))
+    rel = abs(logdet - logdet_exact) / max(abs(logdet_exact), 1.0)
+    assert rel < 1e-3, (
+        f"N=50k factor logdet {logdet:.6f} vs exact f64 {logdet_exact:.6f} "
+        f"(rel {rel:.2e})")
+    out["cholesky_n50000_s"] = round(best, 3)
+    out["cholesky_n50000_logdet_rel_err"] = float(f"{rel:.2e}")
+    return out
 
 
 def _pallas_parity():
@@ -147,8 +215,13 @@ def main():
 
     @jax.jit
     def fused(x):
+        # sym_t: the matmul-produced Gram is laid out column-major, the
+        # Cholesky expansion wants row-major — the free symmetric transpose
+        # cancels the [N, N] layout copy XLA otherwise inserts between them
+        # (this was the BENCH_r03 fused_dev_s > gram_dev_s + cholesky_dev_s
+        # inconsistency: ~3 ms of pure layout traffic).
         k = kernel_fn(x, x, get="nngp")
-        return jnp.linalg.cholesky(add_jitter(k, EPS))
+        return jnp.linalg.cholesky(add_jitter(sym_t(k), EPS))
 
     fused_s, chol = _time(fused, x)
 
@@ -193,13 +266,18 @@ def main():
         k10)
     fused_dev = _device_time(
         lambda xi: jnp.sum(jnp.diagonal(jnp.linalg.cholesky(
-            add_jitter(kernel_fn(xi, xi, get="nngp"), EPS)))), x)
+            add_jitter(sym_t(kernel_fn(xi, xi, get="nngp")), EPS)))), x)
     tunnel_overhead = max(fused_s - fused_dev, 0.0)
 
     parity = None
     if (os.environ.get("SNNGP_BENCH_PARITY", "1") != "0"
             and jax.default_backend() not in ("cpu",)):
         parity = _pallas_parity()
+
+    kernel_metrics = None
+    if (os.environ.get("SNNGP_BENCH_HEAVY", "1") != "0"
+            and jax.default_backend() not in ("cpu",)):
+        kernel_metrics = _north_star_kernels()
 
     result = {
         "metric": f"N={N} MLP-NNGP (depth {DEPTH}) Gram build + Cholesky wall-clock",
@@ -222,6 +300,8 @@ def main():
     }
     if parity is not None:
         result["pallas_parity_max_rel_err"] = float(f"{parity:.2e}")
+    if kernel_metrics is not None:
+        result["north_star_kernels"] = kernel_metrics
     print(json.dumps(result))
 
 

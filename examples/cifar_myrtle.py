@@ -187,7 +187,20 @@ def main():
                          "building the big Gram; gradients run through the "
                          "fused kernel's scalar-tangent backward")
     ap.add_argument("--mlii-n", type=int, default=512,
-                    help="subset size for the ML-II fit")
+                    help="subset size for the ML-II fit (subset scope only)")
+    ap.add_argument("--mlii-scope", choices=["subset", "full"],
+                    default="subset",
+                    help="subset: reverse-mode full-batch Adam on an "
+                         "--mlii-n subset (fits whatever one reverse-mode "
+                         "factorization holds). full: the EXACT full-Gram "
+                         "gradient at tiled scale — one augmented fused "
+                         "assembly (K, dK/dw, dK/db) + in-place "
+                         "factorization + streamed S^-1 panel contractions "
+                         "per step (snngp.models.mlii), the reference's "
+                         "full-batch ML-II (regression/train.py:61-67) at "
+                         "sizes reverse-mode cannot touch")
+    ap.add_argument("--mlii-panel", type=int, default=2048,
+                    help="S^-1 panel width for the full-scope contraction")
     ap.add_argument("--mlii-method", choices=["gp", "tp"], default="tp",
                     help="marginal for the ML-II fit: Gaussian (gp) or "
                          "Student-t (tp; also learns a, b and feeds them to "
@@ -231,7 +244,27 @@ def main():
 
     import jax.numpy as _jnp
     hyper = dict(w_std=1.0, b_std=0.1, last_w_std=1.0)
-    if args.mlii:
+    if args.mlii and args.mlii_scope == "full":
+        from snngp.models.mlii import mlii_fit_full
+        from snngp.ops.pallas.myrtle_gram import myrtle_gram_scale_grads
+
+        def aug_builder(w, b, l):
+            return lambda xa, xb: myrtle_gram_scale_grads(
+                xa, xb, depth=args.depth, act="relu",
+                w_std=w, b_std=b, last_w_std=l)
+
+        resume = (os.path.join(args.resume_gram, "mlii")
+                  if args.resume_gram else None)
+        hyper, args.eps, ab, _ = mlii_fit_full(
+            aug_builder, x_train, np.asarray(y_train), steps=args.mlii,
+            lr=args.mlii_lr, block=args.fused_block, init_hyper=hyper,
+            eps=args.eps,
+            ab=((args.alpha, args.beta)
+                if args.mlii_method == "tp" else None),
+            panel=args.mlii_panel, resume_dir=resume)
+        if ab is not None:
+            args.alpha, args.beta = ab
+    elif args.mlii:
         n_fit = min(args.mlii_n, args.n_train)
         hyper, args.eps, args.alpha, args.beta = mlii_fit(
             args, x_train[:n_fit], y_train[:n_fit])

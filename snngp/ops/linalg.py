@@ -52,6 +52,23 @@ def add_jitter(mat: jax.Array, eps=1e-6) -> jax.Array:
     return mat + eps * jnp.eye(mat.shape[-1], dtype=mat.dtype)
 
 
+def sym_t(k: jax.Array) -> jax.Array:
+    """Free layout flip of a (bitwise-)symmetric Gram before factorization.
+
+    XLA lays a matmul-produced Gram out column-major ({0,1}) while its
+    blocked Cholesky expansion wants row-major ({1,0}); fusing Gram build
+    and factorization into one jit therefore inserts a full-size
+    layout-transposing copy between them. ``K.T`` on a symmetric ``K`` is
+    mathematically (and — for Grams whose (i, j)/(j, i) entries run the
+    same reduction order, e.g. anything built from ``x @ x.T`` — bitwise)
+    a no-op that flips the requested layout instead, cancelling the copy:
+    measured 13% of the fused Gram+Cholesky device time at N=10k on v5e
+    (RESULTS.md round 4). Single-device only: under GSPMD a transpose of a
+    2D-sharded operand reshards instead.
+    """
+    return k.T
+
+
 def add_diag_reg(mat: jax.Array, diag_reg) -> jax.Array:
     """K + diag_reg * mean(diag(K)) * I — neural_tangents' relative diag_reg."""
     n = mat.shape[-1]

@@ -318,6 +318,104 @@ def test_pinned_literal_conv_and_gap_constants():
 
 
 # ---------------------------------------------------------------------------
+# WideResNet stride-2 residual block (the last family resting mostly on MC)
+# ---------------------------------------------------------------------------
+
+def conv_diag(d, h, w, filt, stride, w2, b2):
+    """Diagonal (p == p) restriction of :func:`conv_cov`: matched output
+    pixels couple only matched input pixels (equal tap offsets shift both
+    sides identically), so variances propagate through conv on the diagonal
+    alone — the invariant the matched-pixel tier is built on."""
+    fh, fw = filt
+    sh, sw = stride
+    plh, oh = _same_pad_lo(h, fh, sh)
+    plw, ow = _same_pad_lo(w, fw, sw)
+    q = fh * fw
+    out = {}
+    for i in range(oh):
+        for j in range(ow):
+            s = 0
+            for di in range(fh):
+                for dj in range(fw):
+                    si, sj = i * sh - plh + di, j * sw - plw + dj
+                    if 0 <= si < h and 0 <= sj < w:
+                        s += d[(si, sj)]
+            out[(i, j)] = w2 * s / q + b2
+    return out, oh, ow
+
+
+def test_wrn_stride2_residual_block_hand_derived_float64():
+    """WideResNet downsampling block — the channel-mismatch stride-2 residual
+    (``nt_kernels.py:48-80``; mirrored by ``arch.get_conv_resnet_layer``'s
+    ``block(strides=(2, 2), channel_mismatch=True)``) — on a 4x4 image,
+    every step enumerated by hand:
+
+        stem:     conv 3x3 s1 SAME                      (exact rational)
+        main:     relu -> conv 3x3 s2 SAME -> relu -> conv 3x3 s1 SAME
+        shortcut: conv 3x3 s2 SAME
+        output:   K_main + K_shortcut   (zero cross-covariance: both
+                  branches end in independent zero-mean convs)
+        readout:  Flatten (matched-pixel spatial mean) -> Dense
+
+    ReLU steps use the float64 arccos closed form; variances ride the
+    diagonal-only conv recursion (:func:`conv_diag`). This was the last
+    kernel family resting mostly on finite-width MC (atol 0.06-0.1) plus
+    intra-repo tier cross-checks (VERDICT r3 next #5)."""
+    x1 = _int_images((4, 4, 2), 14)
+    x2 = _int_images((4, 4, 2), 15)
+    w2, b2 = 1.0, 0.25                               # w_std = 1, b_std = 1/2
+    lw2 = 1.21                                       # last_w_std = 1.1
+
+    # Stem conv (floats are exact here: integer inputs, dyadic w2/b2).
+    k12, h, w = conv_cov({k: float(v) for k, v in input_cov(x1, x2).items()},
+                         4, 4, (3, 3), (1, 1), w2, b2)
+    d11 = {p: float(v) for ((pa, pb), v) in
+           conv_cov({k: float(v) for k, v in input_cov(x1, x1).items()},
+                    4, 4, (3, 3), (1, 1), w2, b2)[0].items()
+           if (p := pa) == pb}
+    d22 = {p: float(v) for ((pa, pb), v) in
+           conv_cov({k: float(v) for k, v in input_cov(x2, x2).items()},
+                    4, 4, (3, 3), (1, 1), w2, b2)[0].items()
+           if (p := pa) == pb}
+
+    # Shortcut: conv s2 straight off the stem state.
+    sc12, _, _ = conv_cov(k12, h, w, (3, 3), (2, 2), w2, b2)
+
+    # Main: relu (T on the cross kernel, v/2 on variances: T(v, v, v) = v/2).
+    t12 = {(p, q): _relu_T(k12[(p, q)], d11[p], d22[q])
+           for p in d11 for q in d22}
+    e11 = {p: v / 2.0 for p, v in d11.items()}
+    e22 = {p: v / 2.0 for p, v in d22.items()}
+    # conv s2: 4x4 -> 2x2.
+    m12, h2, w2_ = conv_cov(t12, h, w, (3, 3), (2, 2), w2, b2)
+    f11, _, _ = conv_diag(e11, h, w, (3, 3), (2, 2), w2, b2)
+    f22, _, _ = conv_diag(e22, h, w, (3, 3), (2, 2), w2, b2)
+    # relu -> conv s1 on the 2x2 grid.
+    u12 = {(p, q): _relu_T(m12[(p, q)], f11[p], f22[q])
+           for p in f11 for q in f22}
+    m12, _, _ = conv_cov(u12, h2, w2_, (3, 3), (1, 1), w2, b2)
+
+    # FanInSum, Flatten (diag mean), Dense.
+    blk_diag = [m12[(p, p)] + sc12[(p, p)]
+                for p in [(i, j) for i in range(h2) for j in range(w2_)]]
+    want = lw2 * float(np.mean(blk_diag))
+
+    block = L.serial(
+        L.FanOut(2),
+        L.parallel(
+            L.serial(L.Relu(), L.Conv(8, (3, 3), (2, 2), "SAME", 1.0, 0.5),
+                     L.Relu(), L.Conv(8, (3, 3), (1, 1), "SAME", 1.0, 0.5)),
+            L.Conv(8, (3, 3), (2, 2), "SAME", 1.0, 0.5)),
+        L.FanInSum())
+    layer = L.serial(L.Conv(16, (3, 3), (1, 1), "SAME", 1.0, 0.5), block,
+                     L.Flatten(), L.Dense(1, w_std=1.1))
+    got = float(L.kernel_fn_of(layer)(
+        jnp.asarray(x1, jnp.float32)[None],
+        jnp.asarray(x2, jnp.float32)[None], get="nngp")[0, 0])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
 # Conv NTK: full chain enumerated by hand (previously MC-only at atol 0.2+)
 # ---------------------------------------------------------------------------
 

@@ -114,3 +114,21 @@ def test_long_name_alias_package():
     import scale_mixtures_of_neural_network_gaussian_processes_tpu as smx
     assert hasattr(smx, "nn") and hasattr(smx, "models")
     assert smx.__version__
+
+
+def test_sym_t_is_bitwise_noop_on_matmul_gram():
+    """sym_t flips only the layout: on a Gram whose (i, j) and (j, i)
+    entries run the same reduction order (anything built from x @ x.T,
+    which every kernel recursion here starts from), K.T == K bitwise, so
+    cholesky(sym_t(K)) == cholesky(K) bitwise — the transpose exists purely
+    to cancel XLA's gram->cholesky layout copy (see snngp.ops.linalg.sym_t).
+    """
+    import numpy as np
+    from snngp.ops.linalg import add_jitter, sym_t
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (64, 8), dtype=jnp.float32)
+    k = x @ x.T
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(sym_t(k)))
+    a = jnp.linalg.cholesky(add_jitter(k, 1e-4))
+    b = jnp.linalg.cholesky(add_jitter(sym_t(k), 1e-4))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
