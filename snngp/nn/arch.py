@@ -131,11 +131,23 @@ def _min_fused_n() -> int:
     return int(os.environ.get("SNNGP_PALLAS_MIN_N", "256"))
 
 
+def _fused_backend_ok() -> bool:
+    """Fused Pallas dispatch targets TPU. SNNGP_PALLAS_FORCE=1 engages it on
+    any backend (pair with the kernels' INTERPRET=True on CPU) — used by the
+    fused-tier CLI tests, which would otherwise only ever exercise the XLA
+    tier off-TPU."""
+    import os
+
+    import jax
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("SNNGP_PALLAS_FORCE") == "1")
+
+
 def _use_fused_mlp(x1, x2, get):
     import jax
     return (get == "nngp" and x1.ndim == 2
             and min(x1.shape[0], x2.shape[0]) >= _min_fused_n()
-            and jax.default_backend() == "tpu")
+            and _fused_backend_ok())
 
 
 def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
@@ -162,6 +174,8 @@ def get_mlp_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         return ref_fn(x1, x2, get=get)
 
     return kernel_fn
+
+
 def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
                    last_w_std=1.0, channels=1, trainable_inputs=True):
     """CNN kernel_fn with TPU auto-dispatch to the fused Pallas conv-Gram
@@ -182,7 +196,7 @@ def get_cnn_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         if (get == "nngp" and x1.ndim == 4
                 and x1.shape[1] * x1.shape[2] <= 1024
                 and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
-                and jax.default_backend() == "tpu"):
+                and _fused_backend_ok()):
             from snngp.ops.pallas.conv_gram import cnn_gram
             return cnn_gram(x1, x2_eff, depth=num_hiddens, act=act,
                             w_std=w_std, b_std=b_std, last_w_std=last_w_std,
@@ -206,7 +220,7 @@ def get_conv_resnet_kernel(num_hiddens, num_class=1, act="relu", w_std=1.0,
         if (get == "nngp" and x1.ndim == 4
                 and x1.shape[1] * x1.shape[2] <= 1024
                 and min(x1.shape[0], x2_eff.shape[0]) >= _min_fused_n()
-                and jax.default_backend() == "tpu"):
+                and _fused_backend_ok()):
             from snngp.ops.pallas.resnet_conv_gram import conv_resnet_gram
             return conv_resnet_gram(x1, x2_eff, depth=num_hiddens,
                                     num_class=num_class, act=act, w_std=w_std,
@@ -257,7 +271,7 @@ def get_myrtle_kernel(depth=5, num_class=1, act="relu", w_std=1.0, b_std=0.0,
         x2_eff = x1 if x2 is None else x2
         if (get == "nngp" and x1.ndim == 4 and x1.shape[1] == x1.shape[2]
                 and x1.shape[1] in (16, 32)
-                and jax.default_backend() == "tpu"):
+                and _fused_backend_ok()):
             n1, n2 = x1.shape[0], x2_eff.shape[0]
             hw = x1.shape[1] * x1.shape[2]
             # The XLA full tier materializes the [n1, n2, hw, hw] spatial
