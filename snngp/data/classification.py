@@ -159,7 +159,12 @@ def _load_synthetic(split, shape=_SYNTH_SHAPE):
     Blob centers/radii scale with resolution so the 8x8 stream stays
     bit-identical to round 1 while 32x32x3 gives a CIFAR-shaped workload.
     """
-    n = 4096 if split == "train" else 1024
+    # Pool sizes are part of the synthetic RNG-stream contract (tests pin
+    # values at the defaults); SNNGP_SYNTH_N grows the train pool for
+    # design-scale benchmarking (a different n is a DIFFERENT stream — the
+    # per-class draws interleave differently).
+    n = (int(os.environ.get("SNNGP_SYNTH_N", "4096"))
+         if split == "train" else 1024)
     seed = 1234 if split == "train" else 4321
     rs = np.random.RandomState(seed)
     labels = rs.randint(_SYNTH_CLASSES, size=n)
