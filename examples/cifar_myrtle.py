@@ -246,12 +246,19 @@ def main():
     hyper = dict(w_std=1.0, b_std=0.1, last_w_std=1.0)
     if args.mlii and args.mlii_scope == "full":
         from snngp.models.mlii import mlii_fit_full
-        from snngp.ops.pallas.myrtle_gram import myrtle_gram_scale_grads
+        from snngp.ops.pallas.myrtle_gram import (myrtle_gram_scale_grads,
+                                                  myrtle_profile_tangents)
 
         def aug_builder(w, b, l):
-            return lambda xa, xb: myrtle_gram_scale_grads(
+            return lambda xa, xb, profiles=None: myrtle_gram_scale_grads(
                 xa, xb, depth=args.depth, act="relu",
-                w_std=w, b_std=b, last_w_std=l)
+                w_std=w, b_std=b, last_w_std=l, profiles=profiles)
+
+        def profile_builder(w, b):
+            # per-block variance-profile cache: pays the N-linear profile
+            # recursion once per block per step instead of once per tile
+            return lambda xb: myrtle_profile_tangents(
+                xb, depth=args.depth, act="relu", w_std=w, b_std=b)
 
         resume = (os.path.join(args.resume_gram, "mlii")
                   if args.resume_gram else None)
@@ -261,7 +268,8 @@ def main():
             eps=args.eps,
             ab=((args.alpha, args.beta)
                 if args.mlii_method == "tp" else None),
-            panel=args.mlii_panel, resume_dir=resume)
+            panel=args.mlii_panel, resume_dir=resume,
+            profile_builder=profile_builder)
         if ab is not None:
             args.alpha, args.beta = ab
     elif args.mlii:

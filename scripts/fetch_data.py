@@ -183,7 +183,7 @@ def _extract(path):
     elif path.endswith(".tar.gz"):
         import tarfile
         with tarfile.open(path) as t:
-            t.extractall(d)
+            t.extractall(d, filter="data")
 
 
 def cmd_verify():

@@ -77,6 +77,17 @@ def _add_train_parser(subparsers):
     parser.add_argument("-e",   "--max-epoch",        type=int, default=300)
     parser.add_argument("-r",   "--resize",           type=int, default=1)
 
+    # long-only: a short "-fi" would be swallowed by run.py's pre-parser as
+    # "-f i" (the same prefix collision the --devices flag documents)
+    parser.add_argument("--freeze-inducing",  default=False, action="store_true",
+                        help="mask the inducing inputs out of the optimizer "
+                             "for ANY network (the myrtle kernel always "
+                             "does); isolates the cost of frozen inducing "
+                             "inputs within one architecture — pair a cnn "
+                             "run with/without it to quantify the myrtle "
+                             "convention's deviation from the reference's "
+                             "trainable inducing "
+                             "(classification/train.py:186-190)")
     parser.add_argument("-rs",  "--resume",           default=False, action="store_true",
                         help="resume from <ckpt_dir>/resume.state")
     parser.add_argument("-sck", "--scan-epoch",       default=False, action="store_true",
@@ -228,6 +239,14 @@ def train_main(args):
             base_pred = lambda n: _method_pred(n) and "inducing_variable" not in n
             logger.log("Myrtle kernel: inducing inputs fixed at their "
                        "class-proportional init (scalar-only kernel gradients)")
+        elif getattr(args, "freeze_inducing", False):
+            # Opt-in for cnn/resnet: same optimizer mask the myrtle kernel
+            # applies implicitly — the controlled arm for measuring the
+            # frozen-inducing cost at equal budget.
+            _method_pred = base_pred
+            base_pred = lambda n: _method_pred(n) and "inducing_variable" not in n
+            logger.log("--freeze-inducing: inducing inputs fixed at their "
+                       "class-proportional init")
 
         opt_cls = Adam if args.optimizer == "adam" else SGD
         if args.lr2:
@@ -237,7 +256,8 @@ def train_main(args):
             # train_vars1 from all non-prior vars) — quirk preserved. The
             # myrtle inducing freeze is ours (no reference analogue), so it
             # DOES apply here.
-            if args.network == "myrtle":
+            if args.network == "myrtle" or getattr(args, "freeze_inducing",
+                                                   False):
                 mask1 = name_mask(params, lambda n: "prior" not in n
                                   and "inducing_variable" not in n)
             else:

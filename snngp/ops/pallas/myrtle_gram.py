@@ -89,7 +89,7 @@ _T2 = 128   # b-side samples per grid cell (fori loop; output lane dim)
 # ---------------------------------------------------------------------------
 
 def myrtle_var_profiles(x: jax.Array, groups: Sequence[int], act: str,
-                        w_std, b_std, chunk: int = 128):
+                        w_std, b_std, chunk: Optional[int] = None):
     """Pre-activation spatial-diagonal variances for every conv layer of the
     Myrtle stack, via the per-sample full-covariance recursion
     (``snngp/nn/full.py`` ConvF/ActF/AvgPoolF semantics on [h,w,h,w] states).
@@ -100,13 +100,20 @@ def myrtle_var_profiles(x: jax.Array, groups: Sequence[int], act: str,
     diagonal needs the off-diagonal same-sample covariance — hence the full
     per-sample [h,w,h,w] state, chunked over N (the N-linear precompute is
     ~N/chunk pair-tile equivalents, negligible next to the N^2 Gram).
-    """
+
+    Chunks run SEQUENTIALLY under ``lax.map`` so the peak is one chunk's
+    [chunk, h^2, h^2] state, not all of them: Python-unrolled chunks let XLA
+    schedule every chunk's jvp state concurrently — measured 28 GB HBM for a
+    512-sample block at 32x32 under ``_profiles_with_tangents`` (round 5).
+    The default chunk shrinks with resolution (the state is O(h^4))."""
     from snngp.nn.full import _conv_pair, _pool_axis_pair
     from snngp.nn.layers import _relu_t, _erf_t
     t_fn = {"relu": _relu_t, "erf": _erf_t}[act]
     w2 = jnp.asarray(w_std, jnp.float32) ** 2
     b2 = jnp.asarray(b_std, jnp.float32) ** 2
     n, h, w, c = x.shape
+    if chunk is None:
+        chunk = 128 if h <= 16 else 32
 
     def run(xc):
         cov = jnp.einsum("nabc,ndec->nabde", xc, xc) / c
@@ -120,10 +127,12 @@ def myrtle_var_profiles(x: jax.Array, groups: Sequence[int], act: str,
             cov = _pool_axis_pair(_pool_axis_pair(cov, 2, 1), 2, 3)
         return outs
 
-    chunks = [run(x[i:i + chunk].astype(jnp.float32))
-              for i in range(0, n, chunk)]
-    return [jnp.concatenate([ch[i] for ch in chunks])
-            for i in range(len(chunks[0]))]
+    if n <= chunk:
+        return run(x.astype(jnp.float32))
+    pad = (-n) % chunk
+    xp = jnp.pad(x.astype(jnp.float32), ((0, pad),) + ((0, 0),) * 3)
+    outs = jax.lax.map(run, xp.reshape(-1, chunk, h, w, c))
+    return [o.reshape(-1, *o.shape[2:])[:n] for o in outs]
 
 
 def _profiles_with_tangents(x, groups, act, w_std, b_std):
@@ -269,24 +278,32 @@ _STRIP_ROWS = 256   # stage-1 owned pixel rows per strip (VMEM / halo tradeoff; 
 def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                    out_ref, *, groups: Tuple[int, int, int], act: str, h: int,
                    n_g3: int, dtype=jnp.float32, tangents=None,
-                   grad_refs=()):
-    """Myrtle pair recursion; with ``tangents`` (the w/b-stacked tangent
-    variance-profile refs) it also carries the two forward-mode tangent
-    states dK/dw_std and dK/db_std through the whole recursion in VMEM —
-    same ML-II scalar-gradient scheme as ``gram._gram_grad_kernel`` —
-    writing them to ``grad_refs`` (dK/dlast_w_std = (2/last) K, computed by
-    the wrapper). Linear ops (stencil shifts, halo trims, pooling reshapes,
-    transposes, GAP) apply to every state; the conv scale adds 2w*conv(K) /
-    2b terms and activations route through the shared analytic partials."""
+                   grad_refs=(), tsel: str = "wb"):
+    """Myrtle pair recursion; with ``tangents`` (the tangent variance-profile
+    refs) it also carries forward-mode tangent states through the whole
+    recursion in VMEM — same ML-II scalar-gradient scheme as
+    ``gram._gram_grad_kernel`` — writing them to ``grad_refs``
+    (dK/dlast_w_std = (2/last) K, computed by the wrapper). ``tsel`` picks
+    the tangents carried: "wb" = both (dK/dw_std, dK/db_std) in one pass —
+    three resident states; "w" / "b" = just one — two resident states, which
+    is what fits the 16 MB scoped-VMEM budget at 32x32 (the three-state pass
+    overflows it by 4%, RESULTS.md round 4; the wrapper runs two single-
+    tangent passes there). Single-tangent profile refs drop the stacked
+    (d/dw, d/db) axis and reuse the primal layouts. Linear ops (stencil
+    shifts, halo trims, pooling reshapes, transposes, GAP) apply to every
+    state; the conv scale adds 2w*conv(K) / 2b terms and activations route
+    through the shared analytic partials."""
     w2, b2, last2 = scale_ref[0], scale_ref[1], scale_ref[2]
     grads = tangents is not None
+    tidx = ()
     if grads:
         assert dtype == jnp.float32, "scalar-tangent path is fp32-only"
         w_s, b_s = scale_ref[3], scale_ref[4]
         partials = _ACT_T_PARTIALS[act]
         dva1, dvb1, dva2, dvb2, dva3, dvb3 = tangents
-        dw_ref, db_ref = grad_refs
-    ns = 3 if grads else 1
+        tidx = {"wb": (0, 1), "w": (0,), "b": (1,)}[tsel]
+        stacked = tsel == "wb"   # tangent refs carry a (d/dw, d/db) axis
+    ns = 1 + len(tidx)
     t_fn = _ACT_T[act]
     hw = h * h
     bf16 = dtype == jnp.bfloat16
@@ -338,22 +355,20 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
         """w2*conv(.)+b2 on the primal; product rule on the tangents."""
         c = _conv_dual(ks[0], row_ax, lane_ax)
         out = [w2 * c + b2]
-        if grads:
-            out.append(w2 * _conv_dual(ks[1], row_ax, lane_ax)
-                       + (2.0 * w_s) * c)
-            out.append(w2 * _conv_dual(ks[2], row_ax, lane_ax)
-                       + jnp.full_like(c, 2.0 * b_s))
+        for t, z in zip(tidx, ks[1:]):
+            dc = w2 * _conv_dual(z, row_ax, lane_ax)
+            out.append(dc + (2.0 * w_s) * c if t == 0
+                       else dc + jnp.full_like(c, 2.0 * b_s))
         return out
 
     def act_all(ks, v1s, v2s):
         """Activation; tangents via the shared analytic partials, computed
-        once and reused by both tangent states."""
+        once and reused by every tangent state."""
         if not grads:
             return [t_fn(ks[0], v1s[0], v2s[0])]
         t, tk, tv1, tv2 = partials(ks[0], v1s[0], v2s[0])
-        return [t,
-                tk * ks[1] + tv1 * v1s[1] + tv2 * v2s[1],
-                tk * ks[2] + tv1 * v1s[2] + tv2 * v2s[2]]
+        return [t] + [tk * kz + tv1 * v1z + tv2 * v2z
+                      for kz, v1z, v2z in zip(ks[1:], v1s[1:], v2s[1:])]
 
     def pair(a, b):
         """Full Myrtle recursion for one sample pair (both indices traced).
@@ -398,10 +413,13 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
                 lo = halo + s * strip - cur                 # padded coords
                 v1s = [cast_prof(a_col(va1[l][0], lo, ks[0].shape[0]))]
                 v2s = [vb1_rows[l]]
-                if grads:
+                if grads and stacked:
                     v1s += [a_col(dva1[l][0, i], lo, ks[0].shape[0])
                             for i in (0, 1)]
                     v2s += [dvb1[l][b, i][None, :] for i in (0, 1)]
+                elif grads:
+                    v1s += [a_col(dva1[l][0], lo, ks[0].shape[0])]
+                    v2s += [dvb1[l][b][None, :]]
                 ks = act_all(ks, v1s, v2s)
             blks = [pool_rows_2x2(z, h) for z in ks]        # [strip//4, hw]
             pooled = (blks if pooled[0] is None else
@@ -420,9 +438,12 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
             ks = conv_all(ks, ax2, ax2)
             v1s = [cast_prof(vb2[l][b][None, :].T)]         # [rows_2, 1]
             v2s = [cast_prof(va2[l][a][None, :])]           # [1, lane_q1]
-            if grads:
+            if grads and stacked:
                 v1s += [dvb2[l][b, i][None, :].T for i in (0, 1)]
                 v2s += [dva2[l][a, i][None, :] for i in (0, 1)]
+            elif grads:
+                v1s += [dvb2[l][b][None, :].T]
+                v2s += [dva2[l][a][None, :]]
             ks = act_all(ks, v1s, v2s)
         ks = [pool_rows_2x2(z, r2) for z in ks]             # [rows_3, lane_q1]
         ks = [_pool_lanes_sparse(z, ax2) for z in ks]       # lanes: stride 2
@@ -434,9 +455,12 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
             # sub-128 lane slice would not (rows_3 = 16 at 16x16)
             v1s = [cast_prof(vb3[l][b][None, :].T[:rows_3])]  # [rows_3, 1]
             v2s = [cast_prof(va3[l][a][None, :])]           # [1, lane_q1]
-            if grads:
+            if grads and stacked:
                 v1s += [dvb3[l][b, i][None, :].T[:rows_3] for i in (0, 1)]
                 v2s += [dva3[l][a, i][None, :] for i in (0, 1)]
+            elif grads:
+                v1s += [dvb3[l][b][None, :].T[:rows_3]]
+                v2s += [dva3[l][a][None, :]]
             ks = act_all(ks, v1s, v2s)
         ks = [pool_rows_2x2(z, r3) for z in ks]             # rows_3//4 rows
         ks = [_pool_lanes_sparse(z, ax3_lane) for z in ks]  # lanes: stride 4
@@ -462,9 +486,8 @@ def _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1, vb1, va2, vb2, va3, vb3,
         0, _T1 * _T2, body,
         tuple(jnp.zeros((_T1, _T2), jnp.float32) for _ in range(ns)))
     out_ref[:] = accs[0]
-    if grads:
-        dw_ref[:] = accs[1]
-        db_ref[:] = accs[2]
+    for ref, acc in zip(grad_refs, accs[1:]):
+        ref[:] = acc
 
 
 # ---------------------------------------------------------------------------
@@ -494,12 +517,25 @@ def _myrtle_gram(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std):
 
 
 def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
-                 grads=False):
-    """Build operands and dispatch the fused kernel. ``grads=True`` also
-    feeds the w/b tangent variance profiles and returns
-    (K, dK/dw_std, dK/db_std) from one augmented kernel pass (~3x the
-    forward's VPU work; dK/dlast_w_std = (2/last) K needs no kernel)."""
+                 grads=False, profiles=None):
+    """Build operands and dispatch the fused kernel.
+
+    ``grads`` selects the tangent states carried through the recursion:
+    ``True``/``"wb"`` returns (K, dK/dw_std, dK/db_std) from one augmented
+    pass (~3x the forward's VPU work, three resident VMEM states — does not
+    fit the 16 MB scoped-VMEM budget at 32x32); ``"w"``/``"b"`` returns
+    (K, dK/dtheta) from a two-state pass that DOES fit at 32x32
+    (dK/dlast_w_std = (2/last) K needs no kernel either way).
+
+    ``profiles=(prof1, prof2, dprof1, dprof2)`` feeds precomputed variance
+    profiles (lists of [N, r, r]; tangents [N, 2, r, r] stacking d/dw, d/db)
+    instead of recomputing them per call — the per-sample profile recursion
+    is N-linear but costs real time when the same sample block appears in
+    many Gram tiles (tiled ML-II recomputed it per TILE; cache per block).
+    ``dprof*`` may be None when ``grads=False``."""
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_key]
+    tsel = {True: "wb", False: None}.get(grads, grads)
+    grads = tsel is not None
     if grads and dtype != jnp.float32:
         raise ValueError("scalar-tangent gradients are fp32-only")
     groups = MYRTLE_GROUPS[depth]
@@ -528,7 +564,23 @@ def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
     x2t = jnp.pad(x2p.reshape(m2, hw, c) * scale_c,
                   ((0, 0), (0, lane_1 - hw), (0, 8 - c))).transpose(0, 2, 1)
 
-    if grads:
+    if profiles is not None:
+        prof1, prof2, dprof1, dprof2 = profiles
+
+        def _pad_n(arrs, pad):
+            # zero sample-padding matches the padded-x profiles only up to
+            # the first bias term, but pad pairs' outputs are where-selected
+            # out of the accumulators and sliced off — values never leak.
+            if pad == 0 or arrs is None:
+                return arrs
+            return [jnp.pad(v, ((0, pad),) + ((0, 0),) * (v.ndim - 1))
+                    for v in arrs]
+
+        prof1, dprof1 = _pad_n(prof1, p1), _pad_n(dprof1, p1)
+        prof2, dprof2 = _pad_n(prof2, p2), _pad_n(dprof2, p2)
+        if grads and (dprof1 is None or dprof2 is None):
+            raise ValueError("grads requested but profile tangents missing")
+    elif grads:
         prof1, dprof1 = _profiles_with_tangents(x1p, groups, act, w_std,
                                                 b_std)
         prof2, dprof2 = _profiles_with_tangents(x2p, groups, act, w_std,
@@ -576,6 +628,7 @@ def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
         scale_list += [jnp.asarray(w_std, jnp.float32),
                        jnp.asarray(b_std, jnp.float32)]
 
+    if grads and tsel == "wb":
         # tangent profiles, same layouts with a (d/dw, d/db) axis after the
         # sample-block axis so the primal BlockSpecs carry over unchanged
         def _t1_groups_t(dp):                   # [m1, 2, r, r]
@@ -600,6 +653,24 @@ def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
         dvb3 = [jnp.pad(dprof2[g0 + g1 + l].reshape(m2, 2, n_g3),
                         ((0, 0), (0, 0), (0, g3pad)))
                 for l in range(g2)]
+        d_ops = dva1 + dvb1 + dva2 + dvb2 + dva3 + dvb3
+    elif grads:
+        # single tangent: slice the stacked axis and reuse the PRIMAL
+        # layouts (two resident states instead of three — the 32x32 budget)
+        i_sel = {"w": 0, "b": 1}[tsel]
+        dp1 = [d[:, i_sel] for d in dprof1]
+        dp2 = [d[:, i_sel] for d in dprof2]
+        dva1 = [_t1_groups(dp1[l]) for l in range(g0)]
+        dvb1 = [jnp.pad(dp2[l].reshape(m2, hw), ((0, 0), (0, lane_1 - hw)))
+                for l in range(g0)]
+        dva2 = [_lane_pad(dp1[g0 + l].reshape(m1, hw // 4))
+                for l in range(g1)]
+        dvb2 = [jnp.pad(dp2[g0 + l].reshape(m2, hw // 4),
+                        ((0, 0), (0, rows_2 - hw // 4))) for l in range(g1)]
+        dva3 = [_lane_pad(_sparse_expand(dp1[g0 + g1 + l], r2side))
+                for l in range(g2)]
+        dvb3 = [jnp.pad(dp2[g0 + g1 + l].reshape(m2, n_g3),
+                        ((0, 0), (0, g3pad))) for l in range(g2)]
         d_ops = dva1 + dvb1 + dva2 + dvb2 + dva3 + dvb3
     scales = jnp.stack(scale_list)
 
@@ -642,29 +713,40 @@ def _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std, last_w_std,
         _myrtle_kernel(scale_ref, x1_ref, x2t_ref, va1_r, vb1_r, va2_r, vb2_r,
                        va3_r, vb3_r, out_ref, groups=groups, act=act, h=h,
                        n_g3=n_g3, dtype=dtype, tangents=tangent_refs,
-                       grad_refs=grad_refs)
+                       grad_refs=grad_refs, tsel=tsel or "wb")
 
+    ns = 1 + (len(tsel) if grads else 0)        # resident states / outputs
     shp = jax.ShapeDtypeStruct((m1, m2), jnp.float32)
     out_spec = pl.BlockSpec((_T1, _T2), lambda j, i, *_: (i, j))
     operands = [scales, x1f, x2t, *va1, *vb1, *va2, *vb2, *va3, *vb3]
     if grads:
         operands += d_ops
+    extra = {}
+    if grads and h >= 32:
+        # At 32x32 the augmented kernel's resident states + the pipeline's
+        # double-buffered 4 MB x2t block exceed Mosaic's 16 MB default
+        # scoped-VMEM budget (20.15 MB measured for the two-state pass at a
+        # [512, 512] grid; physical VMEM is 128 MB) — raise the per-kernel
+        # limit rather than shrink the strip (halving _STRIP_ROWS doubles
+        # the static unroll, which the round-4 toolchain died on).
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=28 * 1024 * 1024)
     outs = pl.pallas_call(
         kernel_entry,
-        out_shape=(shp, shp, shp) if grads else shp,
+        out_shape=(shp,) * ns if grads else shp,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=in_specs,
-            out_specs=(out_spec,) * 3 if grads else out_spec,
+            out_specs=(out_spec,) * ns if grads else out_spec,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=(240 if grads else 80) * m1 * m2 * hw,
-            bytes_accessed=(m1 * hw * 12 + m2 * hw * 36) * (12 if grads
-                                                            else 4),
+            flops=80 * ns * m1 * m2 * hw,
+            bytes_accessed=(m1 * hw * 12 + m2 * hw * 36) * 4 * (ns ** 2),
             transcendentals=3 * m1 * m2 * hw,
         ),
         interpret=INTERPRET,
+        **extra,
     )(*operands)
     if grads:
         return tuple(o[:n1, :n2] for o in outs)
@@ -712,8 +794,12 @@ def _myrtle_scalar_fwd(depth, act, dtype_key, x1, x2, w_std, b_std,
 
 def _myrtle_scalar_bwd(depth, act, dtype_key, res, g):
     x1, x2, w_std, b_std, last_w_std = res
-    k, dkw, dkb = _myrtle_call(depth, act, dtype_key, x1, x2, w_std, b_std,
-                               last_w_std, grads=True)
+    # routes through the split dispatcher: at 32x32 the three-state augmented
+    # pass exceeds the 16 MB scoped-VMEM budget, so it runs as two two-state
+    # single-tangent passes (VERDICT r4 #3)
+    k, dkw, dkb = myrtle_gram_scale_grads(
+        x1, x2, depth=depth, act=act, w_std=w_std, b_std=b_std,
+        last_w_std=last_w_std)
     last = jnp.asarray(last_w_std, jnp.float32)
     # K = last^2 * t  =>  dK/dlast = (2/last) K; exact at last = 0 too
     # (K == 0 there), guarded against the 0/0.
@@ -793,34 +879,98 @@ def myrtle_gram_sharded(x1: jax.Array, x2: Optional[jax.Array], mesh, *,
     return sharded_gram(kfn, x1, mesh, x2=x2, check_vma=False)
 
 
-@functools.lru_cache(maxsize=8)
-def _aug_jit(depth: int, act: str):
-    """One cached jit of the augmented fused pass per (depth, act); scales
-    ride as traced arguments (same retrace economics as ``_tiled_jit``)."""
+@functools.lru_cache(maxsize=16)
+def _aug_jit(depth: int, act: str, mode: str):
+    """One cached jit of the augmented fused pass per (depth, act, tangent
+    mode); scales ride as traced arguments (same retrace economics as
+    ``_tiled_jit``)."""
     return jax.jit(lambda a, b, w, bs, l: _myrtle_call(
-        depth, act, "float32", a, b, w, bs, l, grads=True))
+        depth, act, "float32", a, b, w, bs, l, grads=mode))
+
+
+@functools.lru_cache(maxsize=16)
+def _aug_jit_prof(depth: int, act: str, mode: str):
+    """Augmented pass fed with precomputed variance profiles (lists ride as
+    pytree arguments — one compile per (depth, act, mode, shapes))."""
+    def run(a, b, w, bs, l, prof1, prof2, dprof1, dprof2):
+        return _myrtle_call(depth, act, "float32", a, b, w, bs, l,
+                            grads=mode,
+                            profiles=(prof1, prof2, dprof1, dprof2))
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _prof_jit(depth: int, act: str):
+    groups = MYRTLE_GROUPS[depth]
+    return jax.jit(lambda x, w, bs: _profiles_with_tangents(
+        x, groups, act, w, bs))
+
+
+def myrtle_profile_tangents(x: jax.Array, *, depth: int = 5,
+                            act: str = "relu", w_std=1.0, b_std=0.0):
+    """Per-sample variance profiles + (d/dw_std, d/db_std) tangents for one
+    sample block — the cacheable N-linear precompute of the augmented pass.
+
+    Returns ``(profiles, tangents)``: lists of [N, r, r] / [N, 2, r, r], one
+    per conv layer. Feed pairs of these to :func:`myrtle_gram_scale_grads`
+    via ``profiles=`` so a block appearing in many Gram tiles (tiled ML-II:
+    every block pairs with every other) pays its profile recursion once per
+    optimizer step instead of once per tile."""
+    return _prof_jit(depth, act)(x, jnp.asarray(w_std, jnp.float32),
+                                 jnp.asarray(b_std, jnp.float32))
 
 
 def myrtle_gram_scale_grads(x1: jax.Array, x2: Optional[jax.Array] = None, *,
                             depth: int = 5, act: str = "relu",
-                            w_std=1.0, b_std=0.0, last_w_std=1.0):
-    """(K, dK/dw_std, dK/db_std) from ONE augmented fused-kernel pass.
+                            w_std=1.0, b_std=0.0, last_w_std=1.0,
+                            split: Optional[bool] = None, profiles=None):
+    """(K, dK/dw_std, dK/db_std) from the augmented fused kernel.
 
     The direct-product surface for tiled full-Gram ML-II
     (:mod:`snngp.models.mlii`): the block loop needs the per-tile scale
     tangents themselves, not a VJP — ``dK/dlast_w_std = (2/last) K`` is
-    closed-form and intentionally not returned (compute it from K). ~3x the
-    forward's VPU work (the two tangent states ride along in VMEM). fp32
+    closed-form and intentionally not returned (compute it from K). fp32
     only, like the scalar-tangent backward it shares a kernel with.
-    """
+
+    ``split`` controls the dispatch shape: False = ONE three-state pass
+    (K + both tangents, ~3x the forward's VPU work); True = TWO two-state
+    passes (K + one tangent each, ~4x — the primal rides twice). Default
+    (None) picks by resolution: h >= 32 splits, because the three-state pass
+    needs 16.66 MB of scoped VMEM against Mosaic's 16 MB budget at 32x32
+    (RESULTS.md round 4) while the two-state passes fit.
+
+    ``profiles=((prof1, tang1), (prof2, tang2))`` feeds precomputed
+    per-block variance profiles from :func:`myrtle_profile_tangents`;
+    without it split mode still computes them once and shares them across
+    both passes."""
     if act not in _ACT_T:
         raise KeyError(f"unsupported act '{act}'")
     if x2 is None:
         x2 = x1
-    return _aug_jit(depth, act)(x1, x2,
-                                jnp.asarray(w_std, jnp.float32),
-                                jnp.asarray(b_std, jnp.float32),
-                                jnp.asarray(last_w_std, jnp.float32))
+    h = x1.shape[1]
+    if split is None:
+        split = h >= 32
+    w = jnp.asarray(w_std, jnp.float32)
+    bs = jnp.asarray(b_std, jnp.float32)
+    l = jnp.asarray(last_w_std, jnp.float32)
+    if profiles is None and split:
+        profiles = (myrtle_profile_tangents(x1, depth=depth, act=act,
+                                            w_std=w, b_std=bs),
+                    myrtle_profile_tangents(x2, depth=depth, act=act,
+                                            w_std=w, b_std=bs)
+                    if x2 is not x1 else None)
+        if profiles[1] is None:
+            profiles = (profiles[0], profiles[0])
+    if not split:
+        if profiles is None:
+            return _aug_jit(depth, act, "wb")(x1, x2, w, bs, l)
+        (p1, d1), (p2, d2) = profiles
+        return _aug_jit_prof(depth, act, "wb")(x1, x2, w, bs, l,
+                                               p1, p2, d1, d2)
+    (p1, d1), (p2, d2) = profiles
+    k, dkw = _aug_jit_prof(depth, act, "w")(x1, x2, w, bs, l, p1, p2, d1, d2)
+    _, dkb = _aug_jit_prof(depth, act, "b")(x1, x2, w, bs, l, p1, p2, d1, d2)
+    return k, dkw, dkb
 
 
 @functools.lru_cache(maxsize=8)

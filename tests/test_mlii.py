@@ -155,6 +155,33 @@ def test_mlii_fit_full_matches_dense_adam(tmp_path):
     assert np.isclose(ab_f[0], want_a, rtol=1e-3)
 
 
+def test_tiled_aug_gram_profile_cache():
+    """profile_fn is called once per BLOCK (not per tile) and the cached
+    per-block precompute reaches aug_fn alongside the right block pair."""
+    x, _ = _data()
+    n, block = x.shape[0], 32
+    ref = tiled_aug_gram(_aug_builder(**HYPER), x, block=block)
+
+    calls = []
+
+    def profile_fn(xb):
+        calls.append(1)
+        return np.asarray(xb).sum(axis=1)      # any per-block precompute
+
+    aug0 = _aug_builder(**HYPER)
+
+    def aug(x1, x2, profiles=None):
+        p1, p2 = profiles
+        np.testing.assert_allclose(p1, np.asarray(x1).sum(axis=1), rtol=1e-6)
+        np.testing.assert_allclose(p2, np.asarray(x2).sum(axis=1), rtol=1e-6)
+        return aug0(x1, x2)
+
+    got = tiled_aug_gram(aug, x, block=block, profile_fn=profile_fn)
+    assert len(calls) == -(-n // block)        # once per block, not per tile
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
 def test_tiled_aug_gram_resume(tmp_path):
     """A partially-assembled augmented Gram resumes from its bitmap and
     finishes identical to a fresh assembly."""
