@@ -24,7 +24,7 @@ from jax.scipy.linalg import solve_triangular
 from snngp.models import params as P
 from snngp.models.bijectors import positive
 from snngp.ops import log_likelihood, test_log_likelihood, get_correct_count
-from snngp.ops.linalg import add_diag_reg, add_jitter, inv_psd
+from snngp.ops.linalg import add_diag_reg, add_jitter, inv_psd, pinv_psd_eigh
 
 __all__ = ["SVSP", "SPR"]
 
@@ -63,10 +63,22 @@ class SVSP:
     def _posterior_pieces(self, params, x_batch):
         """Shared Gram + solve plumbing for loss/test paths.
 
-        Returns (A_B [B,I], B_B [B,B] posterior cov, k_ii, k_ii_inv, q_mu,
-        q_sqrt) where A_B = k_bi (k_ii + eps I)^{-1} (absolute-eps jitter,
-        spax/models.py:40) and B_B = k_bb - k_bi (k_ii + r I)^{-1} k_ib with
-        nt-relative r (spax/models.py:43 via kernel.predict).
+        Returns (A_B [B,I], B_B [B,B] posterior cov, k_rel_inv, k_bi, k_ii,
+        k_ii_inv, q_mu, q_sqrt) where A_B = k_bi (k_ii + eps I)^{-1}
+        (absolute-eps jitter, spax/models.py:40) and
+        B_B = k_bb - k_bi (k_ii + r I)^{-1} k_ib with nt-relative r
+        (spax/models.py:43 via kernel.predict).
+
+        The relative-reg solve is eigh-based: neural_tangents'
+        ``gradient_descent_mse_ensemble`` (the reference's predict path)
+        eigendecomposes the regularized train Gram, so it stays finite on
+        fp32 Grams whose smallest eigenvalue dips below -r (where a Cholesky
+        factorization NaNs the whole batch — observed on the design-scale
+        synthetic pool, RESULTS.md round 5). Eigenvalues are floored at
+        max_eig * fp32-eps: a no-op on well-conditioned Grams, a bounded
+        pseudo-inverse on numerically indefinite ones. When a distributed
+        ``chol_fn`` is installed the factorization path is kept (eigh does
+        not shard; inducing Grams at that scale are assembled sharded).
         """
         z = params["inducing_variable"]
         eps = P.constrained_read(params["eps"], self.bij)
@@ -81,14 +93,21 @@ class SVSP:
         k_ii_inv = inv_psd(add_jitter(k_ii, eps), chol_fn=self.chol_fn)  # [I, I]
         a_b = k_bi @ k_ii_inv                                # [B, I]
 
-        chol_rel = (self.chol_fn or jnp.linalg.cholesky)(add_diag_reg(k_ii, eps))
-        v = solve_triangular(chol_rel, k_bi.T, lower=True)   # [I, B]
-        b_b = k_bb - v.T @ v                                 # [B, B]
-        return a_b, b_b, chol_rel, k_bi, k_ii, k_ii_inv, q_mu, q_sqrt
+        if self.chol_fn is not None:
+            chol_rel = self.chol_fn(add_diag_reg(k_ii, eps))
+            v = solve_triangular(chol_rel, jnp.eye(k_ii.shape[0],
+                                                   dtype=k_ii.dtype),
+                                 lower=True)                 # [I, I]
+            k_rel_inv = v.T @ v
+        else:
+            k_rel_inv = pinv_psd_eigh(add_diag_reg(k_ii, eps))  # [I, I]
+        b_b = k_bb - k_bi @ k_rel_inv @ k_bi.T               # [B, B]
+        return a_b, b_b, k_rel_inv, k_bi, k_ii, k_ii_inv, q_mu, q_sqrt
 
     def loss(self, params, key, x_batch, y_batch, num_train, num_samples, aux=False):
         """Negative ELBO per data point (spax/models.py:30-56)."""
-        a_b, b_b, _, _, k_ii, k_ii_inv, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
+        a_b, b_b, _, _, k_ii, k_ii_inv, q_mu, q_sqrt = \
+            self._posterior_pieces(params, x_batch)
 
         mean = q_mu @ a_b.T                                   # [C, B]
         # A_B diag(q_sqrt) A_B^T + B_B, batched over classes.
@@ -106,14 +125,13 @@ class SVSP:
 
     def test_acc_nll(self, params, key, x_batch, y_batch, num_samples):
         """MC predictive NLL + correct count (spax/models.py:58-78)."""
-        a_b, b_b, chol_rel, k_bi, _, _, q_mu, q_sqrt = self._posterior_pieces(params, x_batch)
+        a_b, b_b, k_rel_inv, k_bi, _, _, q_mu, q_sqrt = \
+            self._posterior_pieces(params, x_batch)
 
         # Posterior mean with q_mu as targets through the nt-relative solve
         # (spax/models.py:71: kernel.predict(Z, q_mu.T, x_batch)); k_bi is
         # reused from _posterior_pieces (the docstring's "evaluated once").
-        w = solve_triangular(chol_rel, q_mu.T, lower=True)       # [I, C]
-        vb = solve_triangular(chol_rel, k_bi.T, lower=True)      # [I, B]
-        mean = (vb.T @ w).T                                      # [C, B]
+        mean = (k_bi @ (k_rel_inv @ q_mu.T)).T                   # [C, B]
 
         test_cov = jnp.einsum("ij,cj,kj->cik", a_b, q_sqrt, a_b) + b_b[None, :, :]
         sampled_f = self.prior.sample_f_iid(params["prior"], key, mean, test_cov, num_samples)

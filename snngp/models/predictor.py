@@ -33,7 +33,8 @@ from jax.scipy.linalg import solve_triangular
 from snngp.models import params as P
 from snngp.ops import get_correct_count, test_log_likelihood
 from snngp.ops.linalg import (add_diag_reg, add_jitter, chol_append,
-                              chol_quad_form, chol_solve, inv_psd)
+                              chol_quad_form, chol_solve, inv_psd,
+                              pinv_psd_eigh)
 
 __all__ = ["fit_spr", "FittedSPR", "fit_svsp", "FittedSVSP"]
 
@@ -413,15 +414,24 @@ def fit_svsp(model, params) -> "FittedSVSP":
     eps = P.constrained_read(params["eps"], model.bij)
     q_sqrt = P.constrained_read(params["q_sqrt"], model.bij)
     kernel_fn = model.kernel.get_kernel_fn(params["kernel"])
-    chol_fn = model.chol_fn or jnp.linalg.cholesky
 
     k_ii = model.kernel.K(kernel_fn, z)
-    chol_rel = chol_fn(add_diag_reg(k_ii, eps))                  # [I, I]
+    # Indefinite-safe relative-reg inverse (matches SVSP._posterior_pieces:
+    # eigh-based like nt's predict path; Cholesky NaNs on fp32 Grams whose
+    # min eigenvalue dips below the relative regularizer). A distributed
+    # chol_fn keeps the factorization path.
+    if model.chol_fn is not None:
+        chol_rel = model.chol_fn(add_diag_reg(k_ii, eps))        # [I, I]
+        v = solve_triangular(chol_rel, jnp.eye(k_ii.shape[0], dtype=k_ii.dtype),
+                             lower=True)
+        k_rel_inv = v.T @ v
+    else:
+        k_rel_inv = pinv_psd_eigh(add_diag_reg(k_ii, eps))       # [I, I]
     state = {
         "z": z,
         "k_ii_inv": inv_psd(add_jitter(k_ii, eps), chol_fn=model.chol_fn),
-        "chol_rel": chol_rel,
-        "w": solve_triangular(chol_rel, params["q_mu"].T, lower=True),  # [I, C]
+        "k_rel_inv": k_rel_inv,
+        "w": k_rel_inv @ params["q_mu"].T,                       # [I, C]
         "q_sqrt": q_sqrt,
     }
     return FittedSVSP(model, params, state)
@@ -443,9 +453,8 @@ class FittedSVSP:
         k_bi = model.kernel.K(self._kernel_fn, x, s["z"])        # [B, I]
         k_bb = model.kernel.K(self._kernel_fn, x)                # [B, B]
         a_b = k_bi @ s["k_ii_inv"]                               # [B, I]
-        vb = solve_triangular(s["chol_rel"], k_bi.T, lower=True)  # [I, B]
-        mean = (vb.T @ s["w"]).T                                 # [C, B]
-        b_b = k_bb - vb.T @ vb
+        mean = (k_bi @ s["w"]).T                                 # [C, B]
+        b_b = k_bb - k_bi @ s["k_rel_inv"] @ k_bi.T
         cov = jnp.einsum("ij,cj,kj->cik", a_b, s["q_sqrt"], a_b) + b_b[None]
         return mean, cov
 
@@ -475,6 +484,15 @@ class FittedSVSP:
     @classmethod
     def load(cls, path, model):
         params, state = _load_split(path)
+        if "k_rel_inv" not in state and "chol_rel" in state:
+            # Back-compat with pre-round-5 saves (Cholesky-factor state):
+            # reconstruct the explicit inverse and the q_mu solve.
+            chol_rel = state.pop("chol_rel")
+            v = solve_triangular(chol_rel,
+                                 jnp.eye(chol_rel.shape[0], dtype=chol_rel.dtype),
+                                 lower=True)
+            state["k_rel_inv"] = v.T @ v
+            state["w"] = state["k_rel_inv"] @ params["q_mu"].T
         return cls(model, params, state)
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "chol_quad_form",
     "solve_psd",
     "inv_psd",
+    "pinv_psd_eigh",
     "gp_predict",
     "mvn_logpdf",
 ]
@@ -148,6 +149,25 @@ def chol_append(chol: jax.Array, k_nb: jax.Array, k_bb: jax.Array,
 def solve_psd(mat: jax.Array, b: jax.Array) -> jax.Array:
     """PSD solve A^{-1} b (replacement for inv(A) @ b patterns)."""
     return cho_solve(cho_factor(mat, lower=True), b)
+
+
+def pinv_psd_eigh(mat: jax.Array) -> jax.Array:
+    """Indefinite-safe explicit PSD (pseudo-)inverse via eigh.
+
+    neural_tangents' ``gradient_descent_mse_ensemble`` — the reference's
+    predict path (``spax/kernels.py:29-32``) — eigendecomposes the
+    regularized train Gram, so it stays finite on fp32 Grams whose smallest
+    eigenvalue dips below the (trace-relative) regularizer, where a Cholesky
+    factorization NaNs every downstream quantity (observed on design-scale
+    inducing Grams, RESULTS.md round 5). Eigenvalues are floored at
+    ``max_eig * fp32-eps``: a no-op on well-conditioned input (matches the
+    Cholesky inverse to fp32 noise), a bounded pseudo-inverse on
+    numerically indefinite input.
+    """
+    evals, evecs = jnp.linalg.eigh(mat)
+    floor = evals[..., -1:] * jnp.finfo(mat.dtype).eps
+    evals = jnp.maximum(evals, floor)
+    return (evecs / evals[..., None, :]) @ jnp.swapaxes(evecs, -1, -2)
 
 
 def inv_psd(mat: jax.Array, chol_fn=None) -> jax.Array:

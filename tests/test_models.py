@@ -249,6 +249,68 @@ def test_svsp_loss_and_test_path():
         assert 0 <= int(cc) <= 9
 
 
+def test_svsp_singular_inducing_gram_stays_finite():
+    """Round-5 NaN regression: duplicate inducing points make k_ii exactly
+    singular, so cholesky(k_ii + relative-reg I) NaNs in fp32 (the relative
+    regularizer scales with the tiny Gram diagonal). The eigh-based
+    relative solve (nt's predict semantics) must keep loss/test finite —
+    this reproduces the design-scale synthetic32 valid-path NaN
+    (RESULTS.md round 5)."""
+    rng = np.random.RandomState(11)
+    C, I = 3, 8
+    z = rng.randn(I // 2, 4).astype(np.float32)
+    # Near-duplicates: k_ii's smallest eigenvalues land in fp32 rounding
+    # noise (slightly negative), the observed design-scale condition. Exact
+    # duplicates would additionally -inf the KL's slogdet — a degeneracy the
+    # reference shares, so out of contract.
+    z = np.concatenate([z, z + 1e-4 * rng.randn(I // 2, 4).astype(np.float32)],
+                       axis=0)
+
+    def get_kernel_fn(w, b, l):
+        # Tiny output scale -> tiny Gram diagonal -> relative reg ~1e-8,
+        # far below the fp32 indefiniteness of the duplicated Gram.
+        return arch.get_mlp_kernel(1, C, "relu", w_std=w, b_std=b, last_w_std=l)
+
+    kernel = NNGPKernel(get_kernel_fn, 1.0, 0.01, 0.1)
+    model = SVSP(InverseGammaPrior(2.0, 2.0), kernel, z,
+                 num_latent_gps=C, eps=1e-6)
+    params = model.init_params()
+    x = rng.randn(7, 4).astype(np.float32)
+    y = rng.randint(C, size=7)
+
+    nll, cc = model.test_acc_nll(params, jax.random.PRNGKey(2),
+                                 jnp.asarray(x), jnp.asarray(y), 64)
+    assert np.isfinite(float(nll))
+    assert 0 <= int(cc) <= 7
+    loss = model.loss(params, jax.random.PRNGKey(3), jnp.asarray(x),
+                      jnp.asarray(y), 100, 32)
+    assert np.isfinite(float(loss))
+
+
+def test_pinv_psd_eigh_matches_inverse_and_bounds_indefinite():
+    from snngp.ops.linalg import pinv_psd_eigh
+
+    rng = np.random.RandomState(12)
+    a = rng.randn(16, 16).astype(np.float32)
+    psd = a @ a.T + 16 * np.eye(16, dtype=np.float32)
+    got = np.asarray(pinv_psd_eigh(jnp.asarray(psd)))
+    np.testing.assert_allclose(got, np.linalg.inv(psd.astype(np.float64)),
+                               atol=1e-5)
+
+    # Indefinite input (min eig < 0): the Cholesky path (what SVSP used
+    # before round 5) NaNs; the eigh path must stay finite with a bounded
+    # pseudo-inverse.
+    q, _ = np.linalg.qr(rng.randn(16, 16))
+    evals = np.linspace(1.0, 2.0, 16)
+    evals[0] = -1e-7
+    bad = (q * evals) @ q.T
+    chol = np.asarray(jnp.linalg.cholesky(jnp.asarray(bad, jnp.float32)))
+    assert not np.isfinite(chol).all()          # the old failure mode
+    got = np.asarray(pinv_psd_eigh(jnp.asarray(bad, jnp.float32)))
+    assert np.isfinite(got).all()
+    assert np.abs(got).max() < 1.0 / (2.0 * np.finfo(np.float32).eps)
+
+
 def test_svsp_posterior_cov_matches_dense():
     """B_B must equal k_bb - k_bi (k_ii + r I)^{-1} k_ib with relative r."""
     model = _toy_svsp("svgp")
