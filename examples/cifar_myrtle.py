@@ -40,8 +40,11 @@ def load_images(n, image_size, seed):
         rng = np.random.RandomState(seed)
         x = rng.rand(n, 32, 32, 3)
         y = rng.randint(10, size=n)
-    x = jax.image.resize(jnp.asarray(x, jnp.float32),
-                         (n, image_size, image_size, 3), method="bilinear")
+    # Host-side resize (1-ULP match to jax.image.resize): avoids pushing the
+    # full 32x32 dataset through the remote-device tunnel just to shrink it.
+    from snngp.data.resize import bilinear_resize
+    x = jnp.asarray(bilinear_resize(np.asarray(x, np.float32),
+                                    image_size, image_size))
     return x, jnp.asarray(np.asarray(y[:n], np.float32))
 
 

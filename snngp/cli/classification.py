@@ -21,6 +21,7 @@ from snngp.models import SVSP, NNGPKernel, GaussianPrior, InverseGammaPrior
 from snngp.models.params import get_by_suffix
 from snngp.nn.arch import get_cnn_kernel, get_conv_resnet_kernel
 from snngp.data.classification import get_train_dataset, get_test_dataset
+from snngp.data.resize import bilinear_resize
 from snngp.utils import (
     Adam, SGD, Checkpointer, DataLoader, Logger, ReduceLROnPlateau,
     get_context_summary, load_named, name_mask,
@@ -184,10 +185,11 @@ def train_main(args):
         h, w, c = x_train.shape[1:]
         if args.resize > 1:
             new_h, new_w = h // args.resize, w // args.resize
-            x_train = np.asarray(jax.image.resize(
-                jnp.asarray(x_train), (num_train, new_h, new_w, c), method="bilinear"))
-            x_valid = np.asarray(jax.image.resize(
-                jnp.asarray(x_valid), (num_valid, new_h, new_w, c), method="bilinear"))
+            # Host-side resize (matches jax.image.resize to 1 ULP,
+            # snngp/data/resize.py): at design scale the device op costs a
+            # ~300 MB host->device round trip through the remote tunnel.
+            x_train = bilinear_resize(x_train, new_h, new_w)
+            x_valid = bilinear_resize(x_valid, new_h, new_w)
             logger.log(f"Resized to ({h}, {w}, {c}) -> ({new_h}, {new_w}, {c})")
 
         args.network, _ = _base_kernel(args.network)
@@ -545,10 +547,9 @@ def _restore_svsp(args, num_class):
 
 def _resize_to_inducing(x, inducing_points):
     """Resize inputs to the inducing-point resolution
-    (classification/test.py:112-114)."""
+    (classification/test.py:112-114); host-side (snngp/data/resize.py)."""
     h, w, c = inducing_points.shape[1:]
-    return np.asarray(jax.image.resize(
-        jnp.asarray(x), (x.shape[0], h, w, c), method="bilinear"))
+    return bilinear_resize(x, h, w)
 
 
 def test_main(args):

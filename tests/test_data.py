@@ -138,3 +138,23 @@ def test_boston_loader_rejects_ragged(tmp_path):
         assert False, "expected RuntimeError"
     except RuntimeError:
         pass
+
+
+def test_host_bilinear_resize_matches_jax_image_resize():
+    """snngp.data.resize.bilinear_resize is the host-side drop-in for the
+    reference's device resize (classification/train.py:156-161): 1-ULP match
+    across down/up/non-integer factors."""
+    import jax
+    import jax.numpy as jnp
+
+    from snngp.data.resize import bilinear_resize
+
+    rng = np.random.RandomState(0)
+    for (h, w, oh, ow) in [(32, 32, 16, 16), (28, 28, 14, 14),
+                           (16, 16, 32, 32), (28, 28, 16, 16),
+                           (32, 32, 8, 8)]:
+        x = rng.rand(4, h, w, 3).astype(np.float32)
+        want = np.asarray(jax.image.resize(jnp.asarray(x), (4, oh, ow, 3),
+                                           method="bilinear"))
+        got = bilinear_resize(x, oh, ow)
+        np.testing.assert_allclose(got, want, atol=3e-7)
