@@ -24,7 +24,8 @@ from jax.scipy.linalg import solve_triangular
 from snngp.models import params as P
 from snngp.models.bijectors import positive
 from snngp.ops import log_likelihood, test_log_likelihood, get_correct_count
-from snngp.ops.linalg import add_diag_reg, add_jitter, inv_psd, pinv_psd_eigh
+from snngp.ops.linalg import (add_diag_reg, add_jitter, inv_psd,
+                              pinv_psd_eigh, psd_safety_lift)
 
 __all__ = ["SVSP", "SPR"]
 
@@ -90,7 +91,13 @@ class SVSP:
         k_ii = self.kernel.K(kernel_fn, z)                   # [I, I]
         k_bb = self.kernel.K(kernel_fn, x_batch)             # [B, B]
 
-        k_ii_inv = inv_psd(add_jitter(k_ii, eps), chol_fn=self.chol_fn)  # [I, I]
+        # psd_safety_lift: no-op while (k_ii + eps I) is numerically PD (the
+        # reference's exact path, spax/models.py:40); a stop-gradient
+        # diagonal lift when a training step drags the fp32 min eigenvalue
+        # below -eps, where the factorization would NaN the whole ELBO
+        # (observed at nd=8192/ni=256 design scale, RESULTS.md round 5).
+        k_ii_inv = inv_psd(psd_safety_lift(add_jitter(k_ii, eps)),
+                           chol_fn=self.chol_fn)                 # [I, I]
         a_b = k_bi @ k_ii_inv                                # [B, I]
 
         if self.chol_fn is not None:
@@ -112,6 +119,14 @@ class SVSP:
         mean = q_mu @ a_b.T                                   # [C, B]
         # A_B diag(q_sqrt) A_B^T + B_B, batched over classes.
         cov = jnp.einsum("ij,cj,kj->cik", a_b, q_sqrt, a_b) + b_b[None, :, :]
+        # The sampler Cholesky-factorizes cov (spax/priors.py:22-26); at
+        # design scale the fp32 Schur complement inside b_b overshoots to
+        # min eig ~ -1e-4 on the near-rank-1 Myrtle Gram and the factor NaNs
+        # the ELBO. The lift raises the spectrum floor to B*eps_f32*max_eig
+        # (~1e-4 relative — statistically invisible against unit-scale
+        # posterior variances) and is stop-gradient: pathwise sampling
+        # gradients are untouched.
+        cov = psd_safety_lift(cov, mult=cov.shape[-1])
         sampled_f = self.prior.sample_f(params["prior"], key, mean, cov, num_samples)
 
         ll = log_likelihood(sampled_f, y_batch)

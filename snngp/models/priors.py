@@ -58,9 +58,16 @@ class GaussianPrior(Prior):
         return sampled.transpose(1, 2, 0)
 
     def sample_f_iid(self, params, key, mean, cov, num_samples):
-        """Diagonal (marginal) draws -> [C, B, S] (spax/priors.py:28-34)."""
+        """Diagonal (marginal) draws -> [C, B, S] (spax/priors.py:28-34).
+
+        The diagonal is clamped at 0 before the sqrt: fp32 posterior
+        covariances on near-rank-1 design-scale Grams can carry slightly
+        negative marginal variances (Schur-complement round-off), where the
+        reference's unguarded sqrt NaNs the predictive.
+        """
         num_class, num_batch = mean.shape
-        sigma = jnp.sqrt(jnp.diagonal(cov, axis1=-2, axis2=-1))
+        sigma = jnp.sqrt(jnp.maximum(
+            jnp.diagonal(cov, axis1=-2, axis2=-1), 0.0))
         eps = random.normal(key, shape=(num_class, num_batch, num_samples))
         return eps * sigma[..., None] + mean[..., None]
 
@@ -98,10 +105,12 @@ class InverseGammaPrior(Prior):
         return sampled.transpose(1, 2, 0)
 
     def sample_f_iid(self, params, key, mean, cov, num_samples):
-        """Marginal t draws (spax/priors.py:60-68)."""
+        """Marginal t draws (spax/priors.py:60-68). Diagonal clamped at 0
+        before the sqrt (see GaussianPrior.sample_f_iid)."""
         a, b = self._ab(params)
         num_class, num_batch = mean.shape
-        sigma = jnp.sqrt(jnp.diagonal((b / a) * cov, axis1=-2, axis2=-1))
+        sigma = jnp.sqrt(jnp.maximum(
+            jnp.diagonal((b / a) * cov, axis1=-2, axis2=-1), 0.0))
         eps = random.t(key, 2 * a, shape=(num_class, num_batch, num_samples))
         return eps * sigma[..., None] + mean[..., None]
 

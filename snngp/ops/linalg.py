@@ -39,6 +39,7 @@ __all__ = [
     "solve_psd",
     "inv_psd",
     "pinv_psd_eigh",
+    "psd_safety_lift",
     "gp_predict",
     "mvn_logpdf",
 ]
@@ -151,6 +152,30 @@ def solve_psd(mat: jax.Array, b: jax.Array) -> jax.Array:
     return cho_solve(cho_factor(mat, lower=True), b)
 
 
+def psd_safety_lift(mat: jax.Array, mult: float = 1.0) -> jax.Array:
+    """Stop-gradient diagonal lift that makes a symmetric matrix safely
+    factorizable: raises its smallest eigenvalue to
+    ``mult * eps_dtype * max_eig`` when it is below that floor; an exact
+    no-op otherwise (boost = 0, bit parity with the unguarded path).
+
+    Needed on design-scale inducing/posterior matrices where the deep pooled
+    Myrtle kernel saturates correlations to near-rank-1 and fp32 Schur
+    complements overshoot into small negative eigenvalues (observed
+    min eig -1.1e-4 on the [C, B, B] posterior sampling covariance at
+    nd=8192/ni=256 — a plain Cholesky there NaNs the whole ELBO,
+    RESULTS.md round 5). The boost is ``stop_gradient``-ed: gradients flow
+    through the matrix exactly as without the guard, so the eigh appears
+    only in the (stable) forward pass.
+    """
+    ev = jax.lax.stop_gradient(jnp.linalg.eigvalsh(mat))
+    lo, hi = ev[..., 0], ev[..., -1]
+    floor = mult * jnp.finfo(mat.dtype).eps * hi
+    boost = jnp.maximum(floor - lo, 0.0)
+    n = mat.shape[-1]
+    return mat + boost[..., None, None] * jnp.eye(n, dtype=mat.dtype)
+
+
+@jax.custom_jvp
 def pinv_psd_eigh(mat: jax.Array) -> jax.Array:
     """Indefinite-safe explicit PSD (pseudo-)inverse via eigh.
 
@@ -163,11 +188,24 @@ def pinv_psd_eigh(mat: jax.Array) -> jax.Array:
     ``max_eig * fp32-eps``: a no-op on well-conditioned input (matches the
     Cholesky inverse to fp32 noise), a bounded pseudo-inverse on
     numerically indefinite input.
+
+    Differentiation uses the matrix-inverse rule ``d(A^-1) = -A^-1 dA A^-1``
+    (a custom JVP) instead of differentiating through the eigendecomposition:
+    eigh's JVP carries 1/(lambda_i - lambda_j) eigenvector terms that explode
+    on the clustered near-zero spectra this function exists to handle.
+    Exact wherever the floor is inactive; bounded where it is.
     """
     evals, evecs = jnp.linalg.eigh(mat)
     floor = evals[..., -1:] * jnp.finfo(mat.dtype).eps
     evals = jnp.maximum(evals, floor)
     return (evecs / evals[..., None, :]) @ jnp.swapaxes(evecs, -1, -2)
+
+
+@pinv_psd_eigh.defjvp
+def _pinv_psd_eigh_jvp(primals, tangents):
+    (mat,), (dmat,) = primals, tangents
+    inv = pinv_psd_eigh(mat)
+    return inv, -inv @ dmat @ inv
 
 
 def inv_psd(mat: jax.Array, chol_fn=None) -> jax.Array:

@@ -282,9 +282,70 @@ def test_svsp_singular_inducing_gram_stays_finite():
                                  jnp.asarray(x), jnp.asarray(y), 64)
     assert np.isfinite(float(nll))
     assert 0 <= int(cc) <= 7
-    loss = model.loss(params, jax.random.PRNGKey(3), jnp.asarray(x),
-                      jnp.asarray(y), 100, 32)
+    loss, grads = jax.value_and_grad(model.loss)(
+        params, jax.random.PRNGKey(3), jnp.asarray(x), jnp.asarray(y), 100, 32)
     assert np.isfinite(float(loss))
+    # Training-path regression (round 5, second NaN): the sampler Cholesky
+    # of the [C, B, B] posterior covariance and the backward through the
+    # eigh pseudo-inverse must both stay finite on the degenerate Gram.
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_psd_safety_lift():
+    from snngp.ops.linalg import psd_safety_lift
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(12, 12).astype(np.float32)
+    psd = a @ a.T + 12 * np.eye(12, dtype=np.float32)
+    # Healthy matrix: bit-exact no-op.
+    np.testing.assert_array_equal(np.asarray(psd_safety_lift(jnp.asarray(psd))),
+                                  psd)
+
+    # Indefinite matrix (the design-scale sampling-cov condition, min eig
+    # ~ -1e-4 against max eig ~ 3.5): lifted to a factorizable spectrum.
+    q, _ = np.linalg.qr(rng.randn(64, 64))
+    evals = np.linspace(1e-6, 3.5, 64)
+    evals[0] = -1.1e-4
+    bad = ((q * evals) @ q.T).astype(np.float32)
+    assert not np.isfinite(np.asarray(jnp.linalg.cholesky(jnp.asarray(bad)))).all()
+    lifted = psd_safety_lift(jnp.asarray(bad), mult=64)
+    chol = np.asarray(jnp.linalg.cholesky(lifted))
+    assert np.isfinite(chol).all()
+    # Lift is stop-gradient: d sum(lift(A) @ v)/dA is finite and equals the
+    # unlifted linear map's gradient.
+    v = jnp.asarray(rng.randn(64).astype(np.float32))
+    g = jax.grad(lambda m: jnp.sum(psd_safety_lift(m, mult=64) @ v))(
+        jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g), np.tile(np.asarray(v), (64, 1)),
+                               rtol=1e-6)
+
+
+def test_pinv_psd_eigh_custom_jvp_matches_inverse_rule():
+    """grad through pinv_psd_eigh must follow d(A^-1) = -A^-1 dA A^-1 (and
+    never route through eigh's 1/(li-lj) eigenvector JVP, which NaNs on the
+    clustered near-zero spectra of design-scale inducing Grams)."""
+    from snngp.ops.linalg import pinv_psd_eigh
+
+    rng = np.random.RandomState(8)
+    a = rng.randn(6, 6)
+    psd = (a @ a.T + 6 * np.eye(6)).astype(np.float32)
+    w = jnp.asarray(rng.randn(6, 6).astype(np.float32))
+
+    got = jax.grad(lambda m: jnp.sum(pinv_psd_eigh(m) * w))(jnp.asarray(psd))
+    inv = np.linalg.inv(psd.astype(np.float64))
+    expect = -(inv @ np.asarray(w, np.float64) @ inv)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-4)
+
+    # Clustered tiny spectrum: eigh's own JVP produces non-finite values;
+    # the inverse-rule JVP stays finite and bounded.
+    q, _ = np.linalg.qr(rng.randn(16, 16))
+    evals = np.full(16, 1e-7)
+    evals[-1] = 2.0
+    bad = ((q * evals) @ q.T).astype(np.float32)
+    g = jax.grad(lambda m: jnp.sum(pinv_psd_eigh(m) ** 2))(jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_pinv_psd_eigh_matches_inverse_and_bounds_indefinite():
